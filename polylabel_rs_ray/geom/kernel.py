@@ -1,0 +1,587 @@
+"""Pole-of-inaccessibility (Polylabel) kernel, from scratch in numpy.
+
+Semantics reproduce urschrei/polylabel-rs (``/root/reference/src/lib.rs:336-398``):
+
+* degenerate polygon with zero signed area   -> (0, 0)          (lib.rs:340-343)
+* degenerate zero-extent bounding box        -> bbox.min()      (lib.rs:348-352)
+* otherwise: best-first quadtree search over cells scored by the signed
+  distance from the cell centre to the polygon outline (positive inside,
+  negative outside; even-odd ray cast for containment, min point-to-segment
+  distance for magnitude — lib.rs:163-233), seeded with the area-weighted
+  centroid and the bbox centre (lib.rs:361-374) plus a grid of
+  ``min(bbox.w, bbox.h)``-sized cells (lib.rs:257-287); a popped cell is
+  subdivided into 4 children unless ``max_distance - best <= tolerance``
+  (lib.rs:380-394).  ``max_distance = distance + half_extent*sqrt(2)``
+  (lib.rs:47-57).
+
+Architectural departures from the reference (same results, batch-friendly):
+
+* the search runs in *lockstep* across a whole batch of polygons: per
+  iteration each live polygon pops heap cells (pure Python, cheap) until one
+  needs subdividing, then the children of every polygon in the batch are
+  scored in ONE flat vectorized numpy call (ragged segments +
+  ``np.minimum.reduceat`` / ``np.add.reduceat``).  Per-polygon pop/prune/best
+  sequencing is exactly the reference's, so results are identical to the
+  one-polygon-at-a-time path.
+* polygons with many edges use a block-skip path mirroring the reference's
+  BLOCK_SIZE=32 edge-block bboxes (lib.rs:90-161, 181-211): blocks that can
+  neither improve the running minimum distance nor flip ray-cast parity are
+  never evaluated.  The evaluated set always contains the argmin edge and
+  every parity-flipping edge, so the result is bit-identical to the dense
+  path.
+* NaN/non-finite coordinates would panic the reference
+  (``partial_cmp().unwrap()``, lib.rs:64-66); here they are pre-screened into
+  an error code and a (NaN, NaN) label, mirroring the FFI error convention
+  (ffi.rs:78-80).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 32  # edges per skip-block, as in the reference (lib.rs:90)
+LARGE_EDGE_THRESHOLD = 384  # >= this many edges -> block-skip scoring path
+MAX_POPS = 200_000  # safety valve (reference has none; guards tiny tolerances)
+
+SQRT2 = float(np.sqrt(np.float64(2.0)))
+
+# error codes (label_error column values; None/"" = ok)
+ERR_OK = ""
+ERR_NONFINITE = "nonfinite_coordinate"
+ERR_EMPTY = "empty_polygon"
+ERR_MAXITER = "max_iterations"
+
+
+def normalize_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the duplicate closing vertex if present; edges are cyclic."""
+    if len(ring) >= 2 and ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]:
+        return ring[:-1]
+    return ring
+
+
+def ring_signed_area2(ring: np.ndarray) -> float:
+    """Twice the shoelace signed area of a ring (open, cyclic)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_signed_area(rings: list[np.ndarray]) -> float:
+    """Sum of ring signed areas (exterior + interiors, orientation as given) —
+    matches geo's ``Polygon::signed_area`` used by the zero-area guard
+    (lib.rs:341)."""
+    return sum(ring_signed_area2(r) for r in rings) / 2.0
+
+
+def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float] | None:
+    """Area-weighted polygon centroid; interior rings subtract (geo
+    ``Centroid`` semantics, used as the seed guess at lib.rs:361-364).
+
+    Returns None when the total weight is zero (degenerate)."""
+    wsum = 0.0
+    cx = 0.0
+    cy = 0.0
+    for i, ring in enumerate(rings):
+        if len(ring) < 3:
+            continue
+        x = ring[:, 0]
+        y = ring[:, 1]
+        x1 = np.roll(x, -1)
+        y1 = np.roll(y, -1)
+        cross = x * y1 - x1 * y
+        a2 = float(np.sum(cross))  # 2 * signed area
+        if a2 == 0.0:
+            continue
+        rx = float(np.sum((x + x1) * cross)) / (3.0 * a2)
+        ry = float(np.sum((y + y1) * cross)) / (3.0 * a2)
+        w = abs(a2) / 2.0
+        if i > 0:
+            w = -w  # holes subtract
+        wsum += w
+        cx += rx * w
+        cy += ry * w
+    if wsum == 0.0:
+        return None
+    return cx / wsum, cy / wsum
+
+
+@dataclass
+class PreparedBatch:
+    """Edges of every *small* polygon in a batch, concatenated flat."""
+
+    ax: np.ndarray  # (Etot,) segment start x
+    ay: np.ndarray
+    bx: np.ndarray  # segment end
+    by: np.ndarray
+    dx: np.ndarray  # bx - ax
+    dy: np.ndarray
+    d2: np.ndarray  # dx*dx + dy*dy
+    eoff: np.ndarray  # (P,) first edge index of polygon p
+    ecnt: np.ndarray  # (P,) edge count of polygon p
+
+
+def prepare_edges(polys: list[list[np.ndarray]]) -> PreparedBatch:
+    """Decompose each polygon's rings into flat cyclic edge arrays."""
+    axs, ays, bxs, bys = [], [], [], []
+    eoff = np.empty(len(polys), dtype=np.int64)
+    ecnt = np.empty(len(polys), dtype=np.int64)
+    off = 0
+    for p, rings in enumerate(polys):
+        eoff[p] = off
+        n = 0
+        for ring in rings:
+            if len(ring) < 2:
+                continue
+            x = ring[:, 0]
+            y = ring[:, 1]
+            axs.append(x)
+            ays.append(y)
+            bxs.append(np.roll(x, -1))
+            bys.append(np.roll(y, -1))
+            n += len(ring)
+        ecnt[p] = n
+        off += n
+    if axs:
+        ax = np.concatenate(axs)
+        ay = np.concatenate(ays)
+        bx = np.concatenate(bxs)
+        by = np.concatenate(bys)
+    else:
+        ax = ay = bx = by = np.empty(0, dtype=np.float64)
+    dx = bx - ax
+    dy = by - ay
+    d2 = dx * dx + dy * dy
+    return PreparedBatch(ax, ay, bx, by, dx, dy, d2, eoff, ecnt)
+
+
+def _pair_scores(
+    pxp: np.ndarray,
+    pyp: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    dx: np.ndarray,
+    dy: np.ndarray,
+    d2: np.ndarray,
+    by: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per (point, edge) pair: squared point-to-segment distance and
+    even-odd ray-cast flip flag.  All inputs are flat pair-aligned arrays.
+
+    Distance: project, clamp t to [0,1], residual norm — the classic segment
+    distance the reference delegates to geo (lib.rs:226).
+    Parity: ``(a.y > y) != (b.y > y) && x < (b.x-a.x)*(y-a.y)/(b.y-a.y)+a.x``
+    exactly as lib.rs:218-222."""
+    wx = pxp - ax
+    wy = pyp - ay
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (wx * dx + wy * dy) / d2
+        t = np.where(d2 > 0.0, t, 0.0)
+        np.clip(t, 0.0, 1.0, out=t)
+        ex = wx - t * dx
+        ey = wy - t * dy
+        dist2 = ex * ex + ey * ey
+
+        cond_y = (ay > pyp) != (by > pyp)
+        xint = dx * wy / dy + ax
+        flips = cond_y & (pxp < xint)
+    return dist2, flips
+
+
+def score_points_flat(
+    px: np.ndarray, py: np.ndarray, poly_of_point: np.ndarray, prep: PreparedBatch
+) -> np.ndarray:
+    """Signed distance of K points, each against its own polygon's edges,
+    in one flat vectorized call.  Mirrors ``signed_distance``
+    (lib.rs:163-233) without the block skip (used for small polygons, where
+    the dense evaluation is cheaper than the skip bookkeeping)."""
+    K = len(px)
+    if K == 0:
+        return np.empty(0, dtype=np.float64)
+    ecnt = prep.ecnt[poly_of_point]  # edges per point
+    starts = prep.eoff[poly_of_point]
+    total = int(ecnt.sum())
+    seg_start = np.zeros(K, dtype=np.int64)
+    np.cumsum(ecnt[:-1], out=seg_start[1:])
+    point_rep = np.repeat(np.arange(K), ecnt)
+    pair_idx = np.arange(total, dtype=np.int64) - seg_start[point_rep] + starts[point_rep]
+
+    dist2, flips = _pair_scores(
+        px[point_rep],
+        py[point_rep],
+        prep.ax[pair_idx],
+        prep.ay[pair_idx],
+        prep.dx[pair_idx],
+        prep.dy[pair_idx],
+        prep.d2[pair_idx],
+        prep.by[pair_idx],
+    )
+    mind2 = np.minimum.reduceat(dist2, seg_start)
+    nflips = np.add.reduceat(flips.astype(np.int64), seg_start)
+    d = np.sqrt(mind2)
+    return np.where((nflips & 1).astype(bool), d, -d)
+
+
+class PreparedLarge:
+    """One large polygon prepared with BLOCK_SIZE edge-block bboxes for the
+    skip test (mirrors PreparedPolygon/PreparedRing, lib.rs:90-161; blocks
+    never span rings, as in the reference)."""
+
+    def __init__(self, rings: list[np.ndarray]):
+        axs, ays, bxs, bys = [], [], [], []
+        for ring in rings:
+            if len(ring) < 2:
+                continue
+            x = ring[:, 0]
+            y = ring[:, 1]
+            # pad each ring's edge list to a BLOCK_SIZE multiple with
+            # degenerate far-away edges so blocks never span rings
+            n = len(ring)
+            pad = (-n) % BLOCK_SIZE
+            a_x = np.concatenate([x, np.full(pad, np.inf)])
+            a_y = np.concatenate([y, np.full(pad, np.inf)])
+            b_x = np.concatenate([np.roll(x, -1), np.full(pad, np.inf)])
+            b_y = np.concatenate([np.roll(y, -1), np.full(pad, np.inf)])
+            axs.append(a_x)
+            ays.append(a_y)
+            bxs.append(b_x)
+            bys.append(b_y)
+        self.ax = np.concatenate(axs)
+        self.ay = np.concatenate(ays)
+        self.bx = np.concatenate(bxs)
+        self.by = np.concatenate(bys)
+        with np.errstate(invalid="ignore"):
+            self.dx = self.bx - self.ax
+            self.dy = self.by - self.ay
+            self.d2 = self.dx * self.dx + self.dy * self.dy
+        # inf - inf = nan on padding edges; make them inert
+        bad = ~np.isfinite(self.d2)
+        for arr in (self.dx, self.dy):
+            arr[bad] = 0.0
+        self.d2[bad] = 0.0
+        self.pad_mask = bad
+
+        nb = len(self.ax) // BLOCK_SIZE
+        eax = self.ax.reshape(nb, BLOCK_SIZE)
+        eay = self.ay.reshape(nb, BLOCK_SIZE)
+        ebx = self.bx.reshape(nb, BLOCK_SIZE)
+        eby = self.by.reshape(nb, BLOCK_SIZE)
+        with np.errstate(invalid="ignore"):
+            fin = np.isfinite(eax)
+            big = np.where(fin, eax, -np.inf)
+            small = np.where(fin, eax, np.inf)
+            self.bxmin = np.minimum(small.min(axis=1), np.where(fin, ebx, np.inf).min(axis=1))
+            self.bxmax = np.maximum(big.max(axis=1), np.where(fin, ebx, -np.inf).max(axis=1))
+            sy = np.where(fin, eay, np.inf)
+            byf = np.where(fin, eby, np.inf)
+            self.bymin = np.minimum(sy.min(axis=1), byf.min(axis=1))
+            byg = np.where(fin, eby, -np.inf)
+            self.bymax = np.maximum(np.where(fin, eay, -np.inf).max(axis=1), byg.max(axis=1))
+        self.nblocks = nb
+
+    def score(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Signed distances of C points against this polygon with block skip.
+
+        Evaluates (a) every block whose bbox could flip parity for any of the
+        points, plus (b) per point its nearest block, plus (c) every block
+        whose bbox lower bound beats the phase-(a/b) estimate.  The union
+        provably contains each point's argmin edge and all parity edges, so
+        the min/parity equal the dense evaluation bit-for-bit."""
+        C = len(px)
+        pxc = px[:, None]
+        pyc = py[:, None]
+        ddx = np.maximum(self.bxmin[None, :] - pxc, 0.0) + np.maximum(pxc - self.bxmax[None, :], 0.0)
+        ddy = np.maximum(self.bymin[None, :] - pyc, 0.0) + np.maximum(pyc - self.bymax[None, :], 0.0)
+        lb2 = ddx * ddx + ddy * ddy  # (C, B) lower bound on dist^2 to any edge in block
+        cross = ~((pyc < self.bymin[None, :]) | (pyc >= self.bymax[None, :]) | (pxc > self.bxmax[None, :]))
+
+        need1 = cross.any(axis=0).copy()
+        need1[lb2.argmin(axis=1)] = True  # nearest block per point
+        min2, nflips = self._eval_blocks(px, py, np.flatnonzero(need1), count_flips=True)
+
+        # phase 2: any block that could still improve some point's min
+        improve = (lb2 < min2[:, None]).any(axis=0) & ~need1
+        idx2 = np.flatnonzero(improve)
+        if len(idx2):
+            min2b, _ = self._eval_blocks(px, py, idx2, count_flips=False)
+            min2 = np.minimum(min2, min2b)
+
+        d = np.sqrt(min2)
+        return np.where((nflips & 1).astype(bool), d, -d)
+
+    def _eval_blocks(
+        self, px: np.ndarray, py: np.ndarray, block_idx: np.ndarray, count_flips: bool
+    ) -> tuple[np.ndarray, np.ndarray]:
+        edge_idx = (block_idx[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)[None, :]).ravel()
+        ax = self.ax[edge_idx]
+        ay = self.ay[edge_idx]
+        dx = self.dx[edge_idx]
+        dy = self.dy[edge_idx]
+        d2 = self.d2[edge_idx]
+        by = self.by[edge_idx]
+        pad = self.pad_mask[edge_idx]
+
+        pxp = px[:, None]
+        pyp = py[:, None]
+        wx = pxp - ax[None, :]
+        wy = pyp - ay[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (wx * dx + wy * dy) / d2
+            t = np.where(d2 > 0.0, t, 0.0)
+            np.clip(t, 0.0, 1.0, out=t)
+            ex = wx - t * dx
+            ey = wy - t * dy
+            dist2 = ex * ex + ey * ey
+        dist2 = np.where(pad[None, :] | ~np.isfinite(dist2), np.inf, dist2)
+        min2 = dist2.min(axis=1)
+
+        if count_flips:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cond_y = (ay[None, :] > pyp) != (by[None, :] > pyp)
+                xint = dx[None, :] * wy / dy[None, :] + ax[None, :]
+                flips = cond_y & (pxp < xint) & ~pad[None, :]
+            nflips = flips.sum(axis=1)
+        else:
+            nflips = np.zeros(len(px), dtype=np.int64)
+        return min2, nflips
+
+
+class _PolyState:
+    """Per-polygon best-first search state (heap + best), lockstep-driven."""
+
+    __slots__ = (
+        "heap", "seq", "best_d", "best_x", "best_y", "tol", "pops", "done", "err", "large", "_cen",
+    )
+
+    def __init__(self, tol: float):
+        self.heap: list[tuple[float, int, float, float, float, float]] = []
+        self.seq = 0
+        self.best_d = -np.inf
+        self.best_x = np.nan
+        self.best_y = np.nan
+        self.tol = tol
+        self.pops = 0
+        self.done = False
+        self.err = ERR_OK
+        self.large: PreparedLarge | None = None
+
+    def push(self, cx: float, cy: float, h: float, d: float) -> None:
+        maxd = d + h * SQRT2
+        heapq.heappush(self.heap, (-maxd, self.seq, cx, cy, h, d))
+        self.seq += 1
+
+    def set_best(self, x: float, y: float, d: float) -> None:
+        self.best_d = d
+        self.best_x = x
+        self.best_y = y
+
+    def advance(self) -> tuple[float, float, float] | None:
+        """Pop cells (reference loop, lib.rs:380-394) until one needs
+        subdividing; return its (cx, cy, child_half_extent) or None when the
+        heap drains (done)."""
+        while self.heap:
+            self.pops += 1
+            if self.pops > MAX_POPS:
+                self.done = True
+                self.err = ERR_MAXITER
+                return None
+            neg_maxd, _, cx, cy, h, d = heapq.heappop(self.heap)
+            if d > self.best_d:
+                self.set_best(cx, cy, d)
+            if (-neg_maxd) - self.best_d <= self.tol:
+                continue
+            return cx, cy, h / 2.0
+        self.done = True
+        return None
+
+
+def polylabel_batch(
+    polys: list[list[np.ndarray]], tolerances: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Label a batch of polygons.  Returns (x, y, dist, area, err) arrays.
+
+    ``polys[i]`` is a list of (n, 2) float64 rings (ring 0 = exterior); rings
+    may be closed (first == last) or open.  Results are identical to running
+    the reference algorithm polygon-by-polygon; work is vectorized across the
+    batch (small polygons) or over edge blocks (large polygons)."""
+    P = len(polys)
+    out_x = np.full(P, np.nan)
+    out_y = np.full(P, np.nan)
+    out_d = np.full(P, np.nan)
+    out_a = np.full(P, np.nan)
+    out_e: list[str] = [ERR_OK] * P
+
+    # --- screen + degenerate guards (lib.rs:340-352), compute area ---------
+    norm_polys: list[list[np.ndarray] | None] = []
+    small_polys: list[list[np.ndarray]] = []
+    small_ids: list[int] = []
+    states: dict[int, _PolyState] = {}
+    seeds: list[tuple[int, float, float, float]] = []  # (poly, cx, cy, h)
+
+    for i, rings in enumerate(polys):
+        rs = [normalize_ring(np.asarray(r, dtype=np.float64).reshape(-1, 2)) for r in rings]
+        rs = [r for r in rs if len(r) > 0]
+        if not rs or len(rs[0]) == 0:
+            out_e[i] = ERR_EMPTY
+            norm_polys.append(None)
+            continue
+        allc = np.concatenate(rs) if len(rs) > 1 else rs[0]
+        if not np.isfinite(allc).all():
+            out_e[i] = ERR_NONFINITE
+            norm_polys.append(None)
+            continue
+        area = polygon_signed_area(rs)
+        out_a[i] = area
+        if area == 0.0:
+            out_x[i] = 0.0
+            out_y[i] = 0.0
+            out_d[i] = 0.0
+            norm_polys.append(None)
+            continue
+        # bounding box over ALL rings (geo bounding_rect covers interiors too)
+        xs = allc[:, 0]
+        ys = allc[:, 1]
+        minx = float(xs.min())
+        maxx = float(xs.max())
+        miny = float(ys.min())
+        maxy = float(ys.max())
+        w = maxx - minx
+        hgt = maxy - miny
+        cell_size = min(w, hgt)
+        if cell_size == 0.0:
+            out_x[i] = minx
+            out_y[i] = miny
+            out_d[i] = 0.0
+            norm_polys.append(None)
+            continue
+        norm_polys.append(rs)
+        half = cell_size / 2.0
+
+        st = _PolyState(float(tolerances[i]))
+        states[i] = st
+        nedges = sum(len(r) for r in rs)
+        if nedges >= LARGE_EDGE_THRESHOLD:
+            st.large = PreparedLarge(rs)
+        else:
+            small_ids.append(i)
+            small_polys.append(rs)
+
+        # seed cells: centroid guess, bbox-centre guess, covering grid
+        cen = polygon_centroid(rs)
+        bbc = ((minx + maxx) / 2.0, (miny + maxy) / 2.0)
+        if cen is None:
+            cen = bbc  # degenerate centroid: fall back to bbox centre guess
+        seeds.append((i, cen[0], cen[1], -2.0))  # marker: centroid guess
+        seeds.append((i, bbc[0], bbc[1], -1.0))  # marker: bbox guess
+        nx = int(np.ceil(w / cell_size))
+        ny = int(np.ceil(hgt / cell_size))
+        # reference iterates x outer, y inner (lib.rs:274-281)
+        for gx in range(nx):
+            for gy in range(ny):
+                cx = (minx + gx * cell_size) + half
+                cy = (miny + gy * cell_size) + half
+                seeds.append((i, cx, cy, half))
+
+    # --- score all seed cells in bulk --------------------------------------
+    if seeds:
+        small_prep = prepare_edges(small_polys)
+        small_slot = {pid: k for k, pid in enumerate(small_ids)}
+        _score_mixed(seeds, states, small_prep, small_slot)
+        for i, cx, cy, h, d in _drain_scored(seeds):
+            st = states[i]
+            if h == -2.0:
+                st._cen = (cx, cy, d)  # type: ignore[attr-defined]
+            elif h == -1.0:
+                cen_x, cen_y, cen_d = st._cen  # type: ignore[attr-defined]
+                # reference keeps bbox cell iff its distance is LOWER
+                # (lib.rs:370-374) — replicated verbatim, quirk included
+                if d < cen_d:
+                    st.set_best(cx, cy, d)
+                else:
+                    st.set_best(cen_x, cen_y, cen_d)
+            else:
+                st.push(cx, cy, h, d)
+
+        # --- lockstep best-first loop --------------------------------------
+        live = [i for i, st in states.items() if not st.done]
+        while live:
+            requests: list[tuple[int, float, float, float]] = []
+            for i in live:
+                st = states[i]
+                nxt = st.advance()
+                if nxt is not None:
+                    cx, cy, h2 = nxt
+                    # 4 children in reference order (lib.rs:289-301)
+                    requests.append((i, cx - h2, cy - h2, h2))
+                    requests.append((i, cx + h2, cy - h2, h2))
+                    requests.append((i, cx - h2, cy + h2, h2))
+                    requests.append((i, cx + h2, cy + h2, h2))
+            if not requests:
+                break
+            _score_mixed(requests, states, small_prep, small_slot)
+            for i, cx, cy, h, d in _drain_scored(requests):
+                states[i].push(cx, cy, h, d)
+            live = [i for i in live if not states[i].done]
+
+    for i, st in states.items():
+        out_x[i] = st.best_x
+        out_y[i] = st.best_y
+        out_d[i] = st.best_d
+        if st.err:
+            out_e[i] = st.err
+            if st.err == ERR_MAXITER:
+                pass  # best-so-far still reported
+    return out_x, out_y, out_d, out_a, out_e
+
+
+_SCORED: list[np.ndarray] = []
+
+
+def _score_mixed(
+    cells: list[tuple[int, float, float, float]],
+    states: dict[int, _PolyState],
+    small_prep: PreparedBatch,
+    small_slot: dict[int, int],
+) -> None:
+    """Score (poly, cx, cy, h) cells: small polygons in one flat call,
+    large polygons per-polygon via the block-skip path.  Stores the distance
+    array for `_drain_scored`."""
+    d_out = np.empty(len(cells))
+    sm_idx: list[int] = []
+    lg_by_poly: dict[int, list[int]] = {}
+    for k, (pid, _, _, _) in enumerate(cells):
+        if states[pid].large is None:
+            sm_idx.append(k)
+        else:
+            lg_by_poly.setdefault(pid, []).append(k)
+    if sm_idx:
+        px = np.array([cells[k][1] for k in sm_idx])
+        py = np.array([cells[k][2] for k in sm_idx])
+        slot = np.array([small_slot[cells[k][0]] for k in sm_idx], dtype=np.int64)
+        d = score_points_flat(px, py, slot, small_prep)
+        d_out[sm_idx] = d
+    for pid, ks in lg_by_poly.items():
+        px = np.array([cells[k][1] for k in ks])
+        py = np.array([cells[k][2] for k in ks])
+        d_out[ks] = states[pid].large.score(px, py)
+    _SCORED.clear()
+    _SCORED.append(d_out)
+
+
+def _drain_scored(cells: list[tuple[int, float, float, float]]):
+    d = _SCORED[0]
+    for k, (pid, cx, cy, h) in enumerate(cells):
+        yield pid, cx, cy, h, float(d[k])
+
+
+def polylabel_one(
+    rings: list[np.ndarray], tolerance: float
+) -> tuple[float, float, float, float, str]:
+    """Label a single polygon; returns (x, y, distance, area, err).
+
+    Same code path as ``polylabel_batch`` with batch size 1 — used by tests
+    and as the trusted scalar oracle (FIXTURES.md §5)."""
+    x, y, d, a, e = polylabel_batch([rings], np.array([tolerance]))
+    return float(x[0]), float(y[0]), float(d[0]), float(a[0]), e[0]

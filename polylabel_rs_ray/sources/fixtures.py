@@ -1,0 +1,129 @@
+"""The reference's fixture polygons and asserted label points.
+
+Coordinate data is extracted from the reference's own test fixtures by
+``tools/extract_fixtures.py`` into ``fixture_data.npz`` (pure data).  Inline
+literals below mirror the small fixtures in the reference's tests
+(``/root/reference/src/lib.rs:437-473``, ``src/ffi.rs:118-141``,
+``ffi.py:137-152``).
+
+Each fixture: (rings, tolerance, expected, kind)
+  rings     list of (n, 2) float64 arrays, ring 0 = exterior
+  expected  (x, y) label point or None
+  kind      "exact"       — reference asserts bit-exact equality
+            "sentinel"    — degenerate sentinel, must be exact
+            "containment" — only containment within the polygon is asserted
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+_NPZ = Path(__file__).resolve().parent / "fixture_data.npz"
+
+
+@dataclass(frozen=True)
+class Fixture:
+    name: str
+    rings: list  # list of (n, 2) float64 ndarrays
+    tolerance: float
+    expected: tuple | None
+    kind: str
+
+
+def _r(coords) -> np.ndarray:
+    return np.asarray(coords, dtype=np.float64)
+
+
+def load_fixtures() -> dict[str, Fixture]:
+    data = np.load(_NPZ)
+    fx: dict[str, Fixture] = {}
+
+    def add(name, rings, tol, expected, kind):
+        fx[name] = Fixture(name, rings, tol, expected, kind)
+
+    # src/lib.rs:437-451 + doctest lib.rs:310-334
+    add(
+        "l_shape",
+        [_r([(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0), (0.0, 4.0), (0.0, 0.0)])],
+        0.10,
+        (0.5625, 0.5625),
+        "exact",
+    )
+    # src/lib.rs:406-416 (Shapely's test polygon)
+    add("shapely_poly1", [data["poly1"]], 10.0, (59.35615556364569, 121.83919629746435), "exact")
+    # src/lib.rs:418-425 (concave; centroid falls outside)
+    add("concave_poly2", [data["poly2"]], 1.0, None, "containment")
+    # src/lib.rs:427-435 (London block, lon/lat)
+    add("london_poly3", [data["poly3"]], 0.001, (-0.45556816445920356, 51.54848888202887), "exact")
+    # src/lib.rs:452-458
+    add(
+        "degenerate_collinear",
+        [_r([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (0.0, 0.0)])],
+        1.0,
+        (0.0, 0.0),
+        "sentinel",
+    )
+    # src/lib.rs:459-465
+    add(
+        "degenerate_spike",
+        [_r([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)])],
+        1.0,
+        (0.0, 0.0),
+        "sentinel",
+    )
+    # src/lib.rs:466-473
+    add(
+        "square_with_hole",
+        [
+            _r([(0.0, 0.0), (100.0, 0.0), (100.0, 100.0), (0.0, 100.0)]),
+            _r([(60.0, 60.0), (60.0, 80.0), (80.0, 80.0), (80.0, 60.0)]),
+        ],
+        1.0,
+        (35.15625, 35.15625),
+        "exact",
+    )
+    # src/ffi.rs:118-141 / ffi.py:137-152
+    add(
+        "hexagon_two_holes",
+        [
+            _r([(4.0, 1.0), (5.0, 2.0), (5.0, 3.0), (4.0, 4.0), (3.0, 4.0), (2.0, 3.0), (2.0, 2.0), (3.0, 1.0), (4.0, 1.0)]),
+            _r([(3.5, 3.5), (4.4, 2.0), (2.6, 2.0), (3.5, 3.5)]),
+            _r([(4.0, 3.0), (4.0, 3.2), (4.5, 3.2), (4.0, 3.0)]),
+        ],
+        0.1,
+        (3.125, 2.875),
+        "exact",
+    )
+    # benches/benchmark.rs:27-33 ("Large Polygon"), data/norway_main.rs
+    add("norway_main", [data["norway_main"]], 1.0, None, "containment")
+    return fx
+
+
+FIXTURES = load_fixtures()
+
+# deterministic ordering used by the synthetic document table
+FIXTURE_CYCLE = [
+    "l_shape",
+    "shapely_poly1",
+    "concave_poly2",
+    "london_poly3",
+    "degenerate_collinear",
+    "degenerate_spike",
+    "square_with_hole",
+    "hexagon_two_holes",
+    "norway_main",
+]
+
+# fixtures whose coordinates are dyadic rationals with few mantissa bits:
+# translating them by integer offsets keeps every kernel operation exact,
+# so label(translate(P, d)) == label(P) + d bit-for-bit (used by the SQL
+# oracle queries)
+DYADIC_FIXTURES = [
+    "l_shape",
+    "degenerate_collinear",
+    "degenerate_spike",
+    "square_with_hole",
+]

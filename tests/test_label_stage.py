@@ -1,0 +1,103 @@
+"""End-to-end slice: synthesize interleaved docs -> map_batches label stage.
+
+Verifies (a) label columns match the trusted scalar kernel row-by-row,
+(b) the per-row span-sequence equality invariant (input_hint), (c) dyadic
+fixtures' labels equal fixture-label + integer offset exactly.
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from polylabel_rs_ray.geom.kernel import polylabel_one
+from polylabel_rs_ray.sources.docs import (
+    DYADIC_CYCLE_IDX,
+    N_FIXTURES,
+    attach_interleaved,
+    doc_offsets,
+)
+from polylabel_rs_ray.sources.fixtures import FIXTURE_CYCLE, FIXTURES
+from polylabel_rs_ray.stages.label import label_batch, label_points, rings_to_numpy
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def doc_table() -> pa.Table:
+    ids = pa.table({"doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64))})
+    return attach_interleaved(ids)
+
+
+def test_schema(doc_table):
+    assert doc_table.column_names == ["doc_id", "doc_num", "spans", "rings", "tolerance"]
+    assert doc_table.column("doc_id")[0].as_py() == "doc-0"
+    spans0 = doc_table.column("spans")[1].as_py()
+    assert spans0[0]["kind"] == "image" and spans0[0]["media_ref"] == "media://1/0"
+    assert [s["offset"] for s in spans0] == list(range(len(spans0)))
+
+
+def test_rings_roundtrip(doc_table):
+    polys = rings_to_numpy(doc_table.column("rings"))
+    i = 6  # square_with_hole at cycle index 6
+    fx = FIXTURES[FIXTURE_CYCLE[i % N_FIXTURES]]
+    dx, dy = doc_offsets(np.array([i]))
+    expected = [np.asarray(r) + np.array([dx[0], dy[0]]) for r in fx.rings]
+    assert len(polys[i]) == len(expected)
+    for got, exp in zip(polys[i], expected):
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_label_batch_matches_scalar_kernel(doc_table):
+    out = label_batch(doc_table)
+    polys = rings_to_numpy(doc_table.column("rings"))
+    tols = doc_table.column("tolerance").to_numpy()
+    lx = out.column("label_x").to_numpy()
+    ly = out.column("label_y").to_numpy()
+    ld = out.column("label_dist").to_numpy()
+    la = out.column("area").to_numpy()
+    for i in range(N_DOCS):
+        x, y, d, a, e = polylabel_one(polys[i], tols[i])
+        if math.isnan(x):
+            assert math.isnan(lx[i])
+        else:
+            assert (lx[i], ly[i], ld[i], la[i]) == (x, y, d, a), i
+
+
+def test_dyadic_translation_oracle(doc_table):
+    out = label_batch(doc_table)
+    lx = out.column("label_x").to_numpy()
+    ly = out.column("label_y").to_numpy()
+    dx, dy = doc_offsets(np.arange(N_DOCS, dtype=np.int64))
+    for i in range(N_DOCS):
+        f = i % N_FIXTURES
+        if f not in DYADIC_CYCLE_IDX:
+            continue
+        fx = FIXTURES[FIXTURE_CYCLE[f]]
+        bx, by, bd, ba, be = polylabel_one(fx.rings, fx.tolerance)
+        if fx.kind == "sentinel":
+            assert (lx[i], ly[i]) == (0.0, 0.0)
+        else:
+            assert (lx[i], ly[i]) == (bx + dx[i], by + dy[i]), i
+
+
+def test_span_sequence_equality_through_stage(doc_table):
+    out = label_batch(doc_table)
+    assert out.column("spans").equals(doc_table.column("spans"))
+    # element-wise too (kind, text, media_ref, order)
+    for i in [0, 7, 55]:
+        assert out.column("spans")[i].as_py() == doc_table.column("spans")[i].as_py()
+
+
+def test_ray_dataset_label_stage(ray_session, doc_table):
+    import ray
+
+    ds = ray.data.from_arrow(doc_table)
+    res = label_points(ds, batch_size=32).sort("doc_num")
+    got = res.to_pandas()
+    ref = label_batch(doc_table)
+    np.testing.assert_array_equal(got["label_x"].to_numpy(), ref.column("label_x").to_numpy())
+    np.testing.assert_array_equal(got["label_dist"].to_numpy(), ref.column("label_dist").to_numpy())
+    # spans survive the distributed pipeline in order
+    assert got["spans"][3].tolist() == doc_table.column("spans")[3].as_py()

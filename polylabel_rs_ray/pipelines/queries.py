@@ -1,0 +1,394 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+callable(sf_dir) plus (where SQL-expressible) a DuckDB oracle query.
+
+Naming contract (driver): the Ray result and the oracle SQL must produce the
+SAME column names; computed columns are explicitly aliased on both sides.
+
+Float discipline: oracles are only written where the Ray value and the SQL
+value are *bit-identical* by construction —
+  * label points of dyadic fixtures: integer translation is fp-exact
+    (tests/test_geom_kernel.py::test_translation_exactness_dyadic), so the
+    expected label is ``fixture_constant + offset``;
+  * money/value sums go through integer cents (values have exactly 2
+    decimals in the test tables), making distributed sums order-free;
+  * quantity sums/averages involve only integral doubles (exact in fp).
+Non-SQL-expressible pipelines (full spatial join, tiles, MinHash, ...) are
+registered without an oracle -> driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom.kernel import polylabel_one
+from ..sources import docs as docs_mod
+from ..sources.fixtures import DYADIC_FIXTURES, FIXTURE_CYCLE, FIXTURES
+from ..stages.label import label_batch, label_points
+
+DYADIC_IDX = [FIXTURE_CYCLE.index(n) for n in DYADIC_FIXTURES]
+
+
+def _ray():
+    import ray.data  # noqa: F401  (Ray is initialised by the caller/driver)
+    import ray
+
+    return ray
+
+
+# --------------------------------------------------------------------------
+# geometry / labeling queries
+# --------------------------------------------------------------------------
+
+def labeled_docs(sf_dir: str):
+    """Interleaved docs (synthesized from the documents table's doc_id) with
+    label columns appended — the first half of the flagship pipeline."""
+    return label_points(docs_mod.read_docs(sf_dir))
+
+
+def q_label_dyadic(sf_dir: str):
+    """Label points of the dyadic fixtures: fp-exactly ``fixture + offset``."""
+    ds = labeled_docs(sf_dir)
+    mods = DYADIC_IDX
+
+    def pick(batch: pa.Table) -> pa.Table:
+        fixture_idx = batch.column("doc_num").to_numpy() % docs_mod.N_FIXTURES
+        mask = pa.array(np.isin(fixture_idx, mods))
+        out = batch.append_column(
+            "fixture_idx", pa.array(fixture_idx, type=pa.int64())
+        ).filter(mask)
+        return out.select(
+            ["doc_num", "fixture_idx", "label_x", "label_y", "label_dist", "area"]
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_label_dyadic() -> str:
+    cases_x, cases_y, cases_d, cases_a = [], [], [], []
+    for name in DYADIC_FIXTURES:
+        f = FIXTURE_CYCLE.index(name)
+        fx = FIXTURES[name]
+        x, y, d, a, _ = polylabel_one(fx.rings, fx.tolerance)
+        if fx.kind == "sentinel":
+            # sentinel (0,0) is absolute — not shifted (lib.rs:341-343)
+            cases_x.append(f"WHEN {f} THEN 0.0")
+            cases_y.append(f"WHEN {f} THEN 0.0")
+        else:
+            cases_x.append(f"WHEN {f} THEN {x!r} + (doc_id*{docs_mod.OFF_X_MULT})%{docs_mod.OFF_MOD}")
+            cases_y.append(f"WHEN {f} THEN {y!r} + (doc_id*{docs_mod.OFF_Y_MULT})%{docs_mod.OFF_MOD}")
+        cases_d.append(f"WHEN {f} THEN {d!r}")
+        cases_a.append(f"WHEN {f} THEN {a!r}")
+    mods = ",".join(str(m) for m in DYADIC_IDX)
+    n = docs_mod.N_FIXTURES
+
+    def case(cs):
+        return "CASE doc_id % " + str(n) + " " + " ".join(cs) + " END"
+
+    return f"""
+        SELECT doc_id AS doc_num,
+               doc_id % {n} AS fixture_idx,
+               {case(cases_x)} AS label_x,
+               {case(cases_y)} AS label_y,
+               {case(cases_d)} AS label_dist,
+               {case(cases_a)} AS area
+        FROM documents
+        WHERE doc_id % {n} IN ({mods})
+    """
+
+
+def q_label_summary(sf_dir: str):
+    """Full labeling across every fixture; per-fixture counts + ok counts."""
+    ds = labeled_docs(sf_dir)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        fixture_idx = batch.column("doc_num").to_numpy() % docs_mod.N_FIXTURES
+        ok = pc.and_(
+            pc.is_null(batch.column("label_error")),
+            pc.is_finite(batch.column("label_x")),
+        )
+        return pa.table({
+            "fixture_idx": pa.array(fixture_idx, type=pa.int64()),
+            "ok": pc.cast(ok, pa.int64()),
+        })
+
+    ray = _ray()
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fixture_idx")
+        .aggregate(Count(alias_name="n_docs"), Sum("ok", alias_name="n_ok"))
+    )
+
+
+SQL_LABEL_SUMMARY = f"""
+    SELECT doc_id % {docs_mod.N_FIXTURES} AS fixture_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_ok
+    FROM documents GROUP BY 1
+"""
+
+
+def q_span_integrity(sf_dir: str):
+    """Span-sequence invariant surfaced as a query: per doc, the span count
+    and a parity-checkable first/last span kind after the full label stage."""
+    ds = labeled_docs(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        nspans = pc.list_value_length(spans)
+        kinds = pc.list_flatten(pc.list_slice(spans, 0, 1))
+        first_kind = pc.struct_field(kinds, "kind")
+        return pa.table({
+            "doc_num": batch.column("doc_num"),
+            "n_spans": pc.cast(nspans, pa.int64()),
+            "first_kind": first_kind,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SPAN_INTEGRITY = """
+    SELECT doc_id AS doc_num,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS n_spans,
+           CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                           WHEN 2 THEN 'audio' ELSE 'video' END AS first_kind
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (engine generality)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Groupby-aggregate with map-side-friendly exact arithmetic (cents)."""
+    ray = _ray()
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_quantity": batch.column("l_quantity"),
+            "price_cents": cents,
+        })
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           AVG(l_quantity) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Sort + limit (top-k), deterministic via secondary key."""
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_customers_per_nation(sf_dir: str):
+    """Broadcast hash join (small side shipped once via ray.put) + count."""
+    ray = _ray()
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lut = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    lut_ref = ray.put(lut)
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.lut = ray.get(ref) if hasattr(ref, "hex") else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_nationkey").to_numpy()
+            names = [self.lut[int(k)] for k in keys]
+            return pa.table({"n_name": pa.array(names, type=pa.string())})
+
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    fn = AttachNation(lut)
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="num_customers"))
+    )
+
+
+SQL_CUSTOMERS_PER_NATION = """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    ray = _ray()
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "value_cents": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# text / dedup over the documents table
+# --------------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), pattern=r"\S+")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_COUNTS = r"""
+    SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+"""
+
+
+def md5_batch(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    vals = texts.to_pylist()
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None for t in vals],
+        type=pa.string(),
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash partition, keep first doc per hash."""
+    ray = _ray()
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": md5_batch(batch.column("text")),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    return (
+        ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    ray = _ray()
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+SQL_LANG_COUNTS = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "label_dyadic": q_label_dyadic,
+        "label_summary": q_label_summary,
+        "span_integrity": q_span_integrity,
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "customers_per_nation": q_customers_per_nation,
+        "events_by_type": q_events_by_type,
+        "token_counts": q_token_counts,
+        "exact_dedup": q_exact_dedup,
+        "lang_counts": q_lang_counts,
+    }
+
+
+def build_oracles() -> dict:
+    return {
+        "label_dyadic": _sql_label_dyadic(),
+        "label_summary": SQL_LABEL_SUMMARY,
+        "span_integrity": SQL_SPAN_INTEGRITY,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_orders": SQL_TOP_ORDERS,
+        "customers_per_nation": SQL_CUSTOMERS_PER_NATION,
+        "events_by_type": SQL_EVENTS_BY_TYPE,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "lang_counts": SQL_LANG_COUNTS,
+    }

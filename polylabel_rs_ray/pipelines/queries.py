@@ -162,6 +162,201 @@ SQL_SPAN_INTEGRITY = """
 
 
 # --------------------------------------------------------------------------
+# spatial join / cells / tiles
+# --------------------------------------------------------------------------
+
+def _sql_dyadic_labels_cte() -> str:
+    """CTE body: doc_num, label_x, label_y for the dyadic-fixture rows
+    (labels fp-exactly fixture_constant + integer offset)."""
+    cases_x, cases_y = [], []
+    for name in DYADIC_FIXTURES:
+        f = FIXTURE_CYCLE.index(name)
+        fx = FIXTURES[name]
+        x, y, d, a, _ = polylabel_one(fx.rings, fx.tolerance)
+        if fx.kind == "sentinel":
+            cases_x.append(f"WHEN {f} THEN 0.0")
+            cases_y.append(f"WHEN {f} THEN 0.0")
+        else:
+            cases_x.append(
+                f"WHEN {f} THEN {x!r} + (doc_id*{docs_mod.OFF_X_MULT})%{docs_mod.OFF_MOD}"
+            )
+            cases_y.append(
+                f"WHEN {f} THEN {y!r} + (doc_id*{docs_mod.OFF_Y_MULT})%{docs_mod.OFF_MOD}"
+            )
+    n = docs_mod.N_FIXTURES
+    mods = ",".join(str(m) for m in DYADIC_IDX)
+    return (
+        f"SELECT doc_id AS doc_num, "
+        f"CASE doc_id % {n} {' '.join(cases_x)} END AS label_x, "
+        f"CASE doc_id % {n} {' '.join(cases_y)} END AS label_y "
+        f"FROM documents WHERE doc_id % {n} IN ({mods})"
+    )
+
+
+def _dyadic_labeled(sf_dir: str):
+    """Labeled docs filtered to the dyadic-fixture rows (exact-oracle set)."""
+    ds = labeled_docs(sf_dir)
+    mods = DYADIC_IDX
+
+    def pick(batch: pa.Table) -> pa.Table:
+        fixture_idx = batch.column("doc_num").to_numpy() % docs_mod.N_FIXTURES
+        mask = pa.array(np.isin(fixture_idx, mods))
+        return batch.filter(mask).select(["doc_num", "label_x", "label_y"])
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cell_encode(sf_dir: str):
+    """H3/S2-style cell encoding of label points (stateful actor pool)."""
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.cells import CellEncoder
+
+    ds = _dyadic_labeled(sf_dir)
+    return ds.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    ).select_columns(["doc_num", "cell_id", "tile_id"])
+
+
+def _sql_cell_encode() -> str:
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.cells import sql_cell_id_expr
+
+    cell = sql_cell_id_expr("label_x", "label_y", DEFAULT_CELL_RES)
+    tile = sql_cell_id_expr("label_x", "label_y", DEFAULT_TILE_RES)
+    return (
+        f"WITH labels AS ({_sql_dyadic_labels_cte()}) "
+        f"SELECT doc_num, {cell} AS cell_id, {tile} AS tile_id FROM labels"
+    )
+
+
+def q_zone_join(sf_dir: str):
+    """Point-in-polygon spatial join: label point x containing zones
+    (broadcast small side + per-actor cell prefilter + exact parity test)."""
+    from ..stages.join import ZoneJoin
+
+    ds = _dyadic_labeled(sf_dir)
+    return ds.map_batches(
+        ZoneJoin,
+        fn_constructor_kwargs={"keep_cols": ("doc_num",)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+def _sql_zone_join() -> str:
+    from ..stages.join import sql_zone_values
+
+    return (
+        f"WITH labels AS ({_sql_dyadic_labels_cte()}) "
+        f"SELECT doc_num, zone_id FROM labels, {sql_zone_values()} "
+        f"WHERE label_x BETWEEN zx0 AND zx1 AND label_y BETWEEN zy0 AND zy1"
+    )
+
+
+def q_knn_tiles(sf_dir: str):
+    """k-nearest tile centers per label point (expanding-ring search)."""
+    from ..stages.join import KnnTiles
+
+    ds = _dyadic_labeled(sf_dir)
+    return ds.map_batches(
+        KnnTiles,
+        fn_constructor_kwargs={"k": 3, "keep_cols": ("doc_num",)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+def _sql_knn_tiles() -> str:
+    from ..config import DEFAULT_TILE_RES, WORLD_MIN, WORLD_SIZE
+    from ..stages.cells import sql_morton_expr
+
+    n = 1 << DEFAULT_TILE_RES
+    size = WORLD_SIZE / n
+    tid = sql_morton_expr("gx.ix", "gy.iy", DEFAULT_TILE_RES)
+    return f"""
+        WITH labels AS ({_sql_dyadic_labels_cte()}),
+        tiles AS (
+            SELECT {tid} AS tile_id,
+                   {WORLD_MIN!r} + (gx.ix + 0.5) * {size!r} AS cx,
+                   {WORLD_MIN!r} + (gy.iy + 0.5) * {size!r} AS cy
+            FROM generate_series(0, {n - 1}) AS gx(ix),
+                 generate_series(0, {n - 1}) AS gy(iy)
+        ),
+        scored AS (
+            SELECT l.doc_num, t.tile_id,
+                   (l.label_x - t.cx)*(l.label_x - t.cx)
+                 + (l.label_y - t.cy)*(l.label_y - t.cy) AS dist2
+            FROM labels l CROSS JOIN tiles t
+        ),
+        ranked AS (
+            SELECT doc_num, tile_id, dist2,
+                   ROW_NUMBER() OVER (PARTITION BY doc_num ORDER BY dist2, tile_id)
+                       AS knn_rank
+            FROM scored
+        )
+        SELECT doc_num, CAST(knn_rank AS BIGINT) AS knn_rank, tile_id, dist2
+        FROM ranked WHERE knn_rank <= 3
+    """
+
+
+def q_tile_counts(sf_dir: str):
+    """Per-tile label counts after the groupby(tile_id) shuffle."""
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.cells import CellEncoder
+
+    ray = _ray()
+    from ray.data.aggregate import Count
+
+    ds = _dyadic_labeled(sf_dir).map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return ds.groupby("tile_id").aggregate(Count(alias_name="n_points"))
+
+
+def _sql_tile_counts() -> str:
+    from ..config import DEFAULT_TILE_RES
+    from ..stages.cells import sql_cell_id_expr
+
+    tile = sql_cell_id_expr("label_x", "label_y", DEFAULT_TILE_RES)
+    return (
+        f"WITH labels AS ({_sql_dyadic_labels_cte()}) "
+        f"SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS n_points "
+        f"FROM labels GROUP BY 1"
+    )
+
+
+def q_render_tiles(sf_dir: str):
+    """Full tile pipeline over ALL fixtures (raster + vector payloads);
+    rows-only check (binary payloads aren't SQL-expressible) — the raster
+    grid invariants are pinned by pytest golden tests instead."""
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.cells import CellEncoder
+    from ..stages.tiles import render_tiles
+
+    ds = labeled_docs(sf_dir).map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    tiles = render_tiles(ds)
+    return tiles.select_columns(
+        ["tile_id", "n_points", "n_zones_clipped", "raster_nonzero", "raster_sum"]
+    )
+
+
+# --------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables (engine generality)
 # --------------------------------------------------------------------------
 
@@ -369,6 +564,11 @@ def build_queries() -> dict:
         "label_dyadic": q_label_dyadic,
         "label_summary": q_label_summary,
         "span_integrity": q_span_integrity,
+        "cell_encode": q_cell_encode,
+        "zone_join": q_zone_join,
+        "knn_tiles": q_knn_tiles,
+        "tile_counts": q_tile_counts,
+        "render_tiles": q_render_tiles,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
         "customers_per_nation": q_customers_per_nation,
@@ -384,6 +584,11 @@ def build_oracles() -> dict:
         "label_dyadic": _sql_label_dyadic(),
         "label_summary": SQL_LABEL_SUMMARY,
         "span_integrity": SQL_SPAN_INTEGRITY,
+        "cell_encode": _sql_cell_encode(),
+        "zone_join": _sql_zone_join(),
+        "knn_tiles": _sql_knn_tiles(),
+        "tile_counts": _sql_tile_counts(),
+        # render_tiles: no oracle (binary tile payloads) -> rows-only
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_orders": SQL_TOP_ORDERS,
         "customers_per_nation": SQL_CUSTOMERS_PER_NATION,

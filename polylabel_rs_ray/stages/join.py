@@ -1,0 +1,161 @@
+"""Spatial join stages: point-in-polygon zone join and kNN label->tile.
+
+Patterns (SURVEY.md §2.3 joins, §7 step 4):
+
+* **Broadcast PIP join** — the polygon side (the deterministic ``zones``
+  table) is small, so it is shipped once (serialized into the stage
+  callable / ``ray.put``) instead of shuffled; each actor builds a
+  cell_id -> candidate-zone index once in ``__init__`` (the H3/S2-style
+  cell prefilter), then exact containment runs the same even-odd parity
+  kernel the labeler uses (lib.rs:218-222).  For a large polygon side the
+  same stage composes with ``groupby(cell_id).map_groups`` co-partitioning
+  instead of a broadcast — see ``pipelines/flagship.py``.
+* **kNN label->tile** — tile centers form a regular grid, so the
+  k-nearest-tile search scans the 5x5 neighbor-ring candidate set
+  (provably a superset of the true top-3: any ring>=3 center is farther
+  than every ring<=1 center can be) and ranks by exact squared distance
+  with tile_id as the deterministic tiebreak.
+
+Zone geometry is axis-aligned (rectangles with a deterministic layout) so
+the DuckDB oracle can express the same join with BETWEEN predicates; zone
+edges sit on half-integer coordinates so no label point ever lies exactly
+on a zone boundary (labels are sentinel (0,0) or carry fractional dyadic
+parts != .5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES, WORLD_MIN, WORLD_SIZE
+from .cells import cover_bbox, decode_cells, encode_cells, grid_coords
+
+N_ZONES = 40
+
+
+def zone_table() -> dict[str, np.ndarray]:
+    """Deterministic axis-aligned zones (the small join side)."""
+    i = np.arange(N_ZONES, dtype=np.int64)
+    x0 = ((i * 131) % 1200).astype(np.float64) - 59.5
+    y0 = ((i * 197) % 1200).astype(np.float64) - 59.5
+    w = 40.0 + ((i * 13) % 160).astype(np.float64)
+    h = 40.0 + ((i * 29) % 160).astype(np.float64)
+    return {"zone_id": i, "x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h}
+
+
+def zone_rings(z: dict[str, np.ndarray], j: int) -> list[np.ndarray]:
+    """Zone j as a closed ring (counter-clockwise) for the parity kernel."""
+    x0, y0, x1, y1 = z["x0"][j], z["y0"][j], z["x1"][j], z["y1"][j]
+    return [np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])]
+
+
+def sql_zone_values() -> str:
+    """The zones table as a DuckDB VALUES list (oracle side)."""
+    z = zone_table()
+    rows = ", ".join(
+        f"({int(z['zone_id'][j])}, {z['x0'][j]!r}, {z['y0'][j]!r}, {z['x1'][j]!r}, {z['y1'][j]!r})"
+        for j in range(N_ZONES)
+    )
+    return f"(VALUES {rows}) AS zones(zone_id, zx0, zy0, zx1, zy1)"
+
+
+class ZoneJoin:
+    """map_batches stage: rows with (label_x, label_y) -> (row, zone_id)
+    pairs for every zone containing the label point.  Rows matching no zone
+    are dropped (inner-join semantics).
+
+    Stateful per-actor setup: cell_id -> candidate zone ids, built from each
+    zone's bbox covering at ``cell_res``."""
+
+    def __init__(self, cell_res: int = DEFAULT_CELL_RES, keep_cols: tuple = ("doc_num",)):
+        self.cell_res = cell_res
+        self.keep_cols = list(keep_cols)
+        z = zone_table()
+        self.z = z
+        index: dict[int, list[int]] = {}
+        for j in range(N_ZONES):
+            for cid in cover_bbox(z["x0"][j], z["y0"][j], z["x1"][j], z["y1"][j], cell_res):
+                index.setdefault(int(cid), []).append(j)
+        self.index = index
+        # rings for the exact parity test (general-polygon path; rectangles
+        # here, but the kernel is the same one used for any zone geometry)
+        from ..geom.kernel import prepare_edges
+
+        self.prep = prepare_edges([zone_rings(z, j) for j in range(N_ZONES)])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geom.kernel import score_points_flat
+
+        px = batch.column("label_x").to_numpy()
+        py = batch.column("label_y").to_numpy()
+        ix, iy = grid_coords(px, py, self.cell_res)
+        cid = encode_cells(ix, iy, self.cell_res)
+
+        rows: list[int] = []
+        zones: list[int] = []
+        for r in range(len(px)):
+            cands = self.index.get(int(cid[r]))
+            if not cands:
+                continue
+            for j in cands:
+                rows.append(r)
+                zones.append(j)
+        if not rows:
+            out = batch.select(self.keep_cols).slice(0, 0)
+            return out.append_column("zone_id", pa.array([], type=pa.int64()))
+
+        rows_a = np.asarray(rows, dtype=np.int64)
+        zones_a = np.asarray(zones, dtype=np.int64)
+        d = score_points_flat(px[rows_a], py[rows_a], zones_a, self.prep)
+        hit = d > 0  # strictly inside (no boundary cases by construction)
+        rows_a = rows_a[hit]
+        zones_a = zones_a[hit]
+        out = batch.select(self.keep_cols).take(pa.array(rows_a))
+        return out.append_column("zone_id", pa.array(zones_a, type=pa.int64()))
+
+
+class KnnTiles:
+    """map_batches stage: k nearest tile centers per label point via the
+    neighbor-ring candidate set; appends rank (1-based), tile_id, dist2."""
+
+    def __init__(self, tile_res: int = DEFAULT_TILE_RES, k: int = 3,
+                 keep_cols: tuple = ("doc_num",)):
+        self.tile_res = tile_res
+        self.k = k
+        self.keep_cols = list(keep_cols)
+        # relative 5x5 candidate offsets, built once per actor
+        d = np.arange(-2, 3, dtype=np.int64)
+        ox, oy = np.meshgrid(d, d, indexing="ij")
+        self.ox = ox.ravel()
+        self.oy = oy.ravel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("label_x").to_numpy()
+        py = batch.column("label_y").to_numpy()
+        n = 1 << self.tile_res
+        size = WORLD_SIZE / n
+        ix, iy = grid_coords(px, py, self.tile_res)
+        cx = ix[:, None] + self.ox[None, :]
+        cy = iy[:, None] + self.oy[None, :]
+        valid = (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+        ccx = WORLD_MIN + (cx + 0.5) * size
+        ccy = WORLD_MIN + (cy + 0.5) * size
+        dist2 = (px[:, None] - ccx) ** 2 + (py[:, None] - ccy) ** 2
+        dist2 = np.where(valid, dist2, np.inf)
+        tid = encode_cells(
+            np.clip(cx, 0, n - 1).ravel(), np.clip(cy, 0, n - 1).ravel(), self.tile_res
+        ).reshape(dist2.shape)
+        # rank by (dist2, tile_id) — deterministic under exact-dyadic ties
+        order = np.lexsort((tid, dist2), axis=-1)[:, : self.k]
+        P = len(px)
+        rows = np.repeat(np.arange(P), self.k)
+        sel_t = np.take_along_axis(tid, order, axis=1).ravel()
+        sel_d = np.take_along_axis(dist2, order, axis=1).ravel()
+        ranks = np.tile(np.arange(1, self.k + 1), P)
+        out = batch.select(self.keep_cols).take(pa.array(rows))
+        return (
+            out.append_column("knn_rank", pa.array(ranks, type=pa.int64()))
+            .append_column("tile_id", pa.array(sel_t, type=pa.int64()))
+            .append_column("dist2", pa.array(sel_d, type=pa.float64()))
+        )

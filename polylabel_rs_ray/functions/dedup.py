@@ -1,0 +1,123 @@
+"""Deduplication kernels: exact hash, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (100 TB design):
+* signatures are computed in ``map_batches`` actor pools (permutation
+  parameters built once per actor);
+* LSH banding turns near-dup detection into an exact groupby on
+  (band, band_hash) — the only shuffle, keyed so each bucket is tiny;
+* candidate verification needs both documents' shingle sets; the small-scale
+  path broadcasts the corpus, the large-scale path co-partitions shingle
+  sets by doc_id alongside the candidate pairs (documented partitioning
+  assumption: pairs and shingles share the hash(doc_id) partitioner).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE31 = np.uint64((1 << 31) - 1)
+N_PERM = 64
+# r=2/b=32 banding: detection probability 1-(1-j^2)^32 — ~1.0 for j >= 0.5
+# (the verification threshold), so LSH recall is verification-bound; the
+# extra low-j candidates are discarded by the exact-Jaccard verify stage.
+LSH_BANDS = 32
+LSH_ROWS = 2  # N_PERM = LSH_BANDS * LSH_ROWS
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, N_PERM, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, N_PERM, dtype=np.uint64)
+    return a, b
+
+
+def shingles(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hashes (uint64 holding 32-bit values)."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
+    return out
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N_PERM,) uint32 signature: min over shingles of (a*h + b) mod 2^31-1."""
+    if len(sh) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint32).max, dtype=np.uint32)
+    v = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE31
+    return v.min(axis=1).astype(np.uint32)
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(LSH_BANDS,) int64 bucket keys: band index mixed with the band rows."""
+    rows = sig.reshape(LSH_BANDS, LSH_ROWS).astype(np.uint64)
+    h = np.uint64(1469598103934665603)
+    for r in range(LSH_ROWS):
+        h = (h ^ rows[:, r]) * np.uint64(1099511628211)
+    band_idx = np.arange(LSH_BANDS, dtype=np.uint64)
+    return ((h ^ (band_idx << np.uint64(56))) >> np.uint64(1)).astype(np.int64)
+
+
+def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    sa, sb = set(sh_a.tolist()), set(sh_b.tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class MinHasher:
+    """Actor-pool stage state: permutation parameters built once."""
+
+    def __init__(self, seed: int = 42, ngram: int = 3):
+        self.a, self.b = _perm_params(seed)
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(shingles(text, self.ngram), self.a, self.b)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out >> np.uint64(1))  # keep int64-positive for Arrow/SQL
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def cosine_near_dup_pairs(
+    vecs: np.ndarray, ids: np.ndarray, threshold: float
+) -> list[tuple[int, int, float]]:
+    """All pairs with cosine similarity >= threshold (brute force — the
+    verification step after LSH bucketing at scale)."""
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    sim = unit @ unit.T
+    out = []
+    n = len(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    hit = sim[iu, ju] >= threshold
+    for i, j, s in zip(iu[hit], ju[hit], sim[iu, ju][hit]):
+        out.append((int(ids[i]), int(ids[j]), float(s)))
+    return out

@@ -556,6 +556,334 @@ SQL_LANG_COUNTS = """
 
 
 # --------------------------------------------------------------------------
+# training-data ops: quality, langid, fingerprint, dedup, similarity, media
+# --------------------------------------------------------------------------
+
+def q_quality_scores(sf_dir: str):
+    from ..functions.text import quality_batch
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch.column("text").combine_chunks() if isinstance(batch.column("text"), pa.ChunkedArray) else batch.column("text"))
+        return q.add_column(0, "doc_id", batch.column("doc_id"))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUALITY_SCORES = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+               t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS BIGINT)
+               AS stopword_hits,
+           CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+               t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+             / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS stop_ratio,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+             / GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           CAST(length(text) AS DOUBLE)
+             / GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) AS mean_word_len
+    FROM documents
+"""
+
+
+def q_bpe_tokens(sf_dir: str):
+    from ..functions.text import token_counts_batch
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = token_counts_batch(batch.column("text"))
+        return t.add_column(0, "doc_id", batch.column("doc_id"))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_BPE_TOKENS = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID vs the table's lang column (rows-only)."""
+    from ..functions.text import lang_id_batch
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(pred, type=pa.string()),
+            "lang": batch.column("lang"),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash content fingerprints (rows-only; hash not SQL-expressible)."""
+    from ..functions.text import fingerprint_batch
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "fp61": pa.array(fp, type=pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mutate_text(text: str, doc_id: int) -> str:
+    """Deterministic near-duplicate: drop every 17th word, tweak one word
+    (word-3-gram Jaccard ~0.75-0.85 — inside the r=4/b=16 LSH sweet spot)."""
+    toks = text.split()
+    kept = [t for i, t in enumerate(toks) if (i + doc_id) % 17 != 0]
+    if kept:
+        kept[doc_id % len(kept)] = kept[doc_id % len(kept)] + "x"
+    return " ".join(kept)
+
+
+DUP_OFFSET = 1_000_000
+DUP_EVERY = 7  # every 7th doc gets a planted near-duplicate
+
+
+def _corpus_with_planted_dups(sf_dir: str):
+    """documents plus planted near-duplicates (doc_id + DUP_OFFSET)."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        mask = ids % DUP_EVERY == 0
+        new_ids = list(ids) + [int(i) + DUP_OFFSET for i in ids[mask]]
+        new_texts = texts + [
+            mutate_text(t, int(i)) for i, t in zip(ids, texts) if int(i) % DUP_EVERY == 0
+        ]
+        return pa.table({
+            "doc_id": pa.array(new_ids, type=pa.int64()),
+            "text": pa.array(new_texts, type=pa.string()),
+        })
+
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup: signature (actor pool) -> band explode ->
+    groupby(band bucket) candidate pairs -> exact-Jaccard verify against the
+    broadcast corpus.  Rows-only (pytest pins planted-pair recall)."""
+    from ..functions.dedup import LSH_BANDS, MinHasher, band_hashes, jaccard, shingles
+
+    ray = _ray()
+    ds = _corpus_with_planted_dups(sf_dir)
+
+    class SignBand:
+        def __init__(self):
+            self.mh = MinHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            texts = batch.column("text").to_pylist()
+            out_doc, out_bucket = [], []
+            for i, t in zip(ids, texts):
+                bh = band_hashes(self.mh.signature(t or ""))
+                out_doc.extend([int(i)] * LSH_BANDS)
+                out_bucket.extend(bh.tolist())
+            return pa.table({
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+            })
+
+    banded = ds.map_batches(
+        SignBand, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+
+    # broadcast corpus for verification (small side here; co-partitioned
+    # shingle join at scale — see functions/dedup.py docstring)
+    corpus = {
+        int(r["doc_id"]): r["text"]
+        for r in _corpus_with_planted_dups(sf_dir).iter_rows()
+    }
+    corpus_ref = ray.put(corpus)
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        if len(ids) < 2:
+            return pa.table({
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard_pct": pa.array([], type=pa.int64()),
+            })
+        texts = ray.get(corpus_ref)
+        sh = {i: shingles(texts.get(i, "")) for i in ids}
+        da, db, jj = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                j = jaccard(sh[ids[x]], sh[ids[y]])
+                if j >= threshold:
+                    da.append(ids[x])
+                    db.append(ids[y])
+                    jj.append(int(round(j * 100)))
+        return pa.table({
+            "doc_a": pa.array(da, type=pa.int64()),
+            "doc_b": pa.array(db, type=pa.int64()),
+            "jaccard_pct": pa.array(jj, type=pa.int64()),
+        })
+
+    pairs = banded.groupby("bucket").map_groups(verify_group, batch_format="pyarrow")
+    # candidate pairs can surface from several bands -> distinct
+    return pairs.groupby(["doc_a", "doc_b", "jaccard_pct"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (rows-only; pytest pins hamming
+    closeness of planted near-duplicates)."""
+    from ..functions.dedup import simhash64
+
+    ds = _corpus_with_planted_dups(sf_dir)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        hashes = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": ids,
+            "simhash": pa.array(hashes, type=pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98):
+    """Embedding-cosine near-dup within LSH-style buckets: vectors bucketed
+    by sign pattern against broadcast hyperplanes; exact cosine verify in
+    each bucket.  Planted duplicates (vec_id + DUP_OFFSET, tiny noise)."""
+    from ..functions.dedup import cosine_near_dup_pairs
+    from ..functions.sim import embedding_matrix
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch)
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        mask = ids % DUP_EVERY == 0
+        dup = m[mask] * 1.0001 + 1e-6  # near-identical direction
+        allm = np.vstack([m, dup])
+        allids = np.concatenate([ids, ids[mask] + DUP_OFFSET])
+        flat = pa.array(allm.astype(np.float32).ravel(), type=pa.float32())
+        col = pa.FixedSizeListArray.from_arrays(flat, m.shape[1])
+        return pa.table({
+            "vec_id": pa.array(allids, type=pa.int64()),
+            "embedding": col,
+        })
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch)
+        # hyperplanes derived deterministically from the embedding dim, so
+        # every task builds the identical bucketing without coordination
+        planes = np.random.default_rng(123).standard_normal((8, m.shape[1]))
+        signs = (m @ planes.T) > 0
+        bucket = (signs * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    bucketed = planted.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = embedding_matrix(group)
+        ids = group.column("vec_id").to_numpy().astype(np.int64)
+        pairs = cosine_near_dup_pairs(m, ids, threshold)
+        return pa.table({
+            "vec_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+            "vec_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            "cos_pct": pa.array([int(round(p[2] * 100)) for p in pairs], type=pa.int64()),
+        })
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-k (ranks only; scores differ from the SQL oracle's
+    op order by ulps, ranks don't)."""
+    from ..functions.sim import ann_topk_pipeline
+
+    ds = ann_topk_pipeline(sf_dir, n_queries=3, k=5)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
+SQL_ANN_TOPK = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qv, e.embedding) AS score
+        FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (rows-only; recall pinned by pytest)."""
+    from ..functions.sim import ivf_topk_pipeline
+
+    ds = ivf_topk_pipeline(sf_dir, n_queries=3, k=5)
+    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_media_kind_counts(sf_dir: str):
+    """Multimodal plumbing: explode media spans, featurize (stubbed decode),
+    roll up counts per kind."""
+    from ..stages.media import media_pipeline
+
+    ray = _ray()
+    from ray.data.aggregate import Count
+
+    ds = media_pipeline(sf_dir)
+    return ds.groupby("kind").aggregate(Count(alias_name="n_media"))
+
+
+SQL_MEDIA_KIND_COUNTS = """
+    SELECT CASE (doc_id + g.j) % 4 WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media
+    FROM documents CROSS JOIN generate_series(0, 7) AS g(j)
+    WHERE g.j <= doc_id % 8 AND (doc_id + g.j) % 4 != 0
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -576,6 +904,16 @@ def build_queries() -> dict:
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "lang_counts": q_lang_counts,
+        "quality_scores": q_quality_scores,
+        "bpe_tokens": q_bpe_tokens,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_kind_counts": q_media_kind_counts,
     }
 
 
@@ -596,4 +934,10 @@ def build_oracles() -> dict:
         "token_counts": SQL_TOKEN_COUNTS,
         "exact_dedup": SQL_EXACT_DEDUP,
         "lang_counts": SQL_LANG_COUNTS,
+        "quality_scores": SQL_QUALITY_SCORES,
+        "bpe_tokens": SQL_BPE_TOKENS,
+        "ann_topk": SQL_ANN_TOPK,
+        "media_kind_counts": SQL_MEDIA_KIND_COUNTS,
+        # lang_id, fingerprints, minhash_near_dup, simhash,
+        # embedding_near_dup, ivf_topk: rows-only (not SQL-expressible)
     }

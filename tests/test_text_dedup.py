@@ -1,0 +1,149 @@
+"""Text analysis + dedup + similarity kernels and their pipelines."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from polylabel_rs_ray.functions.dedup import (
+    MinHasher,
+    band_hashes,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from polylabel_rs_ray.functions.text import (
+    fingerprint_one,
+    lang_id_one,
+    quality_batch,
+    token_counts_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lang_id_heuristic():
+    assert lang_id_one("the cat and the dog sat in the house") == "en"
+    assert lang_id_one("le chat et le chien est dans la maison") == "fr"
+    assert lang_id_one("der Hund und die Katze ist nicht hier") == "de"
+    assert lang_id_one("你好世界 这是一个测试 谢谢") == "zh"
+    assert lang_id_one("") == "und"
+
+
+def test_quality_batch():
+    t = quality_batch(pa.array(["The cat, the hat!", ""]))
+    row = t.to_pylist()[0]
+    assert row["n_tokens"] == 4
+    assert row["punct_count"] == 2
+    assert row["stopword_hits"] == 2  # 'the' twice ('the' in 'The'->'the')
+    assert t.to_pylist()[1]["n_tokens"] == 0
+
+
+def test_token_counts():
+    t = token_counts_batch(pa.array(["hello world 123 foo-bar!"]))
+    row = t.to_pylist()[0]
+    assert row["n_ws_tokens"] == 4
+    assert row["n_bpe_tokens"] == 7  # hello world 123 foo - bar !
+
+
+def test_fingerprint_stability():
+    assert fingerprint_one("abc") == fingerprint_one("abc")
+    assert fingerprint_one("abc") != fingerprint_one("acb")  # order-sensitive
+    assert 0 <= fingerprint_one("x" * 1000) < (1 << 61) - 1
+
+
+def test_minhash_jaccard_approximation():
+    mh = MinHasher()
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")
+    sa, sb = shingles(a), shingles(b)
+    true_j = jaccard(sa, sb)
+    siga, sigb = mh.signature(a), mh.signature(b)
+    est = (siga == sigb).mean()
+    assert abs(est - true_j) < 0.25
+    # identical docs share every band; distinct docs share none (w.h.p.)
+    assert (band_hashes(siga) == band_hashes(mh.signature(a))).all()
+    other = mh.signature("completely different words everywhere entirely unrelated")
+    assert not (band_hashes(siga) == band_hashes(other)).any()
+
+
+def test_simhash_near_dup_close():
+    a = "the quick brown fox jumps over the lazy dog " * 3
+    b = a.replace("dog", "cat")
+    c = "totally unrelated content about databases and query engines"
+    assert hamming64(simhash64(a), simhash64(b)) < hamming64(simhash64(a), simhash64(c))
+    assert simhash64(a) == simhash64(a)
+    assert simhash64(a) >= 0  # int64-safe
+
+
+def test_minhash_pipeline_finds_planted_dups(ray_session):
+    import pyarrow.parquet as pq
+
+    from polylabel_rs_ray.pipelines.queries import (
+        DUP_EVERY,
+        DUP_OFFSET,
+        mutate_text,
+        q_minhash_near_dup,
+    )
+
+    df = q_minhash_near_dup(SF).to_pandas()
+    got = set(zip(df.doc_a, df.doc_b))
+
+    # ground truth: planted pairs whose true word-3-gram Jaccard clears the
+    # verification threshold (short docs legitimately fall below it)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    above = set()
+    for r in docs:
+        i = int(r["doc_id"])
+        if i % DUP_EVERY:
+            continue
+        j = jaccard(shingles(r["text"]), shingles(mutate_text(r["text"], i)))
+        if j >= 0.55:
+            above.add((i, i + DUP_OFFSET))
+    assert above, "no plantable pairs?"
+    recall = len(above & got) / len(above)
+    assert recall == 1.0, f"above-threshold planted recall {recall}"
+    # nothing below the verify threshold leaks through
+    assert (df.jaccard_pct >= 50).all()
+
+
+def test_embedding_near_dup_pipeline(ray_session):
+    from polylabel_rs_ray.pipelines.queries import DUP_EVERY, DUP_OFFSET, q_embedding_near_dup
+
+    df = q_embedding_near_dup(SF).to_pandas()
+    planted = {(a, a + DUP_OFFSET) for a in range(0, 500, DUP_EVERY)}
+    got = set(zip(df.vec_a, df.vec_b))
+    assert planted <= got
+
+
+def test_ann_vs_ivf_recall(ray_session):
+    from polylabel_rs_ray.pipelines.queries import q_ann_topk, q_ivf_topk
+
+    exact = q_ann_topk(SF).to_pandas()
+    approx = q_ivf_topk(SF).to_pandas()
+    # per query, rank-1 must agree (the query vector itself); overall
+    # recall of the approximate index stays high on this data
+    for qid in exact.query_id.unique():
+        e1 = exact[(exact.query_id == qid) & (exact["rank"] == 1)].vec_id.iloc[0]
+        a1 = approx[(approx.query_id == qid) & (approx["rank"] == 1)].vec_id.iloc[0]
+        assert e1 == a1 == qid
+    eset = set(zip(exact.query_id, exact.vec_id))
+    aset = set(zip(approx.query_id, approx.vec_id))
+    assert len(eset & aset) / len(eset) >= 0.6
+
+
+def test_media_pipeline(ray_session):
+    from polylabel_rs_ray.stages.media import MEDIA_FEATURE_DIM, MediaFeaturizer, media_pipeline
+
+    df = media_pipeline(SF).to_pandas()
+    assert (df.kind != "text").all()
+    assert df.features.map(len).eq(MEDIA_FEATURE_DIM).all()
+    # deterministic features
+    f = MediaFeaturizer()
+    t = pa.table({"media_ref": pa.array(["media://1/0"]), "kind": pa.array(["image"])})
+    a = f(t).column("features").to_pylist()[0]
+    b = f(t).column("features").to_pylist()[0]
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(decode="real")._featurize("media://1/0")

@@ -115,13 +115,12 @@ def q_label_summary(sf_dir: str):
             "ok": pc.cast(ok, pa.int64()),
         })
 
-    ray = _ray()
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import grouped_aggregate
 
-    return (
-        ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("fixture_idx")
-        .aggregate(Count(alias_name="n_docs"), Sum("ok", alias_name="n_ok"))
+    return grouped_aggregate(
+        ds.map_batches(summarize, batch_format="pyarrow", zero_copy_batch=True),
+        ["fixture_idx"],
+        [("count", None, "n_docs"), ("sum", "ok", "n_ok")],
     )
 
 
@@ -310,9 +309,6 @@ def q_tile_counts(sf_dir: str):
     from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
     from ..stages.cells import CellEncoder
 
-    ray = _ray()
-    from ray.data.aggregate import Count
-
     ds = _dyadic_labeled(sf_dir).map_batches(
         CellEncoder,
         fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
@@ -320,7 +316,9 @@ def q_tile_counts(sf_dir: str):
         zero_copy_batch=True,
         concurrency=2,
     )
-    return ds.groupby("tile_id").aggregate(Count(alias_name="n_points"))
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(ds, ["tile_id"], [("count", None, "n_points")])
 
 
 def _sql_tile_counts() -> str:
@@ -379,15 +377,17 @@ def q_pricing_summary(sf_dir: str):
             "price_cents": cents,
         })
 
-    return (
-        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum", "l_quantity", "sum_qty"),
+            ("sum", "price_cents", "sum_price_cents"),
+            ("mean", "l_quantity", "avg_qty"),
+            ("count", None, "count_order"),
+        ],
     )
 
 
@@ -434,14 +434,14 @@ def q_customers_per_nation(sf_dir: str):
             names = [self.lut[int(k)] for k in keys]
             return pa.table({"n_name": pa.array(names, type=pa.string())})
 
-    from ray.data.aggregate import Count
-
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     fn = AttachNation(lut)
-    return (
-        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("n_name")
-        .aggregate(Count(alias_name="num_customers"))
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name"],
+        [("count", None, "num_customers")],
     )
 
 
@@ -464,10 +464,12 @@ def q_events_by_type(sf_dir: str):
             "value_cents": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()),
         })
 
-    return (
-        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("count", None, "n_events"), ("sum", "value_cents", "sum_value_cents")],
     )
 
 
@@ -543,8 +545,10 @@ def q_lang_counts(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
-    return ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds, ["lang"], [("count", None, "n_docs"), ("sum", "n_chars", "total_chars")]
     )
 
 
@@ -866,11 +870,10 @@ def q_media_kind_counts(sf_dir: str):
     roll up counts per kind."""
     from ..stages.media import media_pipeline
 
-    ray = _ray()
-    from ray.data.aggregate import Count
+    from ..stages.agg import grouped_aggregate
 
     ds = media_pipeline(sf_dir)
-    return ds.groupby("kind").aggregate(Count(alias_name="n_media"))
+    return grouped_aggregate(ds, ["kind"], [("count", None, "n_media")])
 
 
 SQL_MEDIA_KIND_COUNTS = """

@@ -1,0 +1,98 @@
+"""Partial (map-side combine) groupby-aggregate.
+
+Ray Data's ``groupby().aggregate()`` sort-shuffles every input row.  For
+algebraic aggregates (sum/count/min/max/mean) the right shape at scale is:
+
+    map_batches(per-batch pyarrow group_by)   # combine inside each batch
+      -> groupby(keys).aggregate(...)          # shuffle only |groups|*|blocks| rows
+
+which shrinks the shuffle from O(rows) to O(groups x blocks).  Results are
+exactly equal for integer sums/counts/min/max; float sums change only in
+association order (callers use integer-cents columns where bit-exactness
+matters — see pipelines/queries.py).
+
+Spec entries: ("sum", col, alias), ("count", None, alias),
+("min", col, alias), ("max", col, alias), ("mean", col, alias).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+
+
+def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
+    """Partial-then-final groupby over a Ray Dataset; returns a Dataset
+    whose columns are ``keys + [alias for each spec]``."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # dedupe identical partial computations (e.g. count + mean both need a
+    # group count) — one partial column can serve several final aliases
+    partial_aggs: list[tuple[str, str, str]] = []  # (pa_func, col, partial_name)
+    partial_of: dict[tuple[str, str], str] = {}
+    needs: dict[str, tuple[str, ...]] = {}  # alias -> partial names used
+
+    def _partial(func: str, col: str) -> str:
+        key = (func, col)
+        if key not in partial_of:
+            name = f"__p{len(partial_of)}_{func}"
+            partial_of[key] = name
+            partial_aggs.append((func, col, name))
+        return partial_of[key]
+
+    for kind, col, alias in specs:
+        if kind == "count":
+            needs[alias] = (_partial("count", keys[0]),)
+        elif kind == "mean":
+            needs[alias] = (_partial("sum", col), _partial("count", keys[0]))
+        elif kind in _PARTIAL_FUNCS:
+            needs[alias] = (_partial(kind, col),)
+        else:
+            raise ValueError(kind)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select(keys)
+        gb = batch.group_by(keys)
+        agg_spec = [(col, func) for func, col, _ in partial_aggs]
+        out = gb.aggregate(agg_spec)
+        cols = {}
+        remaining = list(partial_aggs)
+        for field in out.schema:
+            if field.name in keys:
+                cols[field.name] = out.column(field.name)
+                continue
+            func, col, name = remaining.pop(0)
+            assert field.name == f"{col}_{func}", (field.name, col, func)
+            cols[name] = out.column(field.name)
+        return pa.table(cols)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    final_aggs = []
+    for func, _col, name in partial_aggs:
+        if func in ("count", "sum"):
+            final_aggs.append(Sum(name, alias_name=name))
+        elif func == "min":
+            final_aggs.append(Min(name, alias_name=name))
+        elif func == "max":
+            final_aggs.append(Max(name, alias_name=name))
+    reduced = partial.groupby(keys).aggregate(*final_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        for kind, col, alias in specs:
+            parts = needs[alias]
+            if kind == "count":
+                cols[alias] = pc.cast(batch.column(parts[0]), pa.int64())
+            elif kind == "mean":
+                s = batch.column(parts[0])
+                c = batch.column(parts[1])
+                cols[alias] = pc.divide(pc.cast(s, pa.float64()), pc.cast(c, pa.float64()))
+            else:
+                cols[alias] = batch.column(parts[0])
+        return pa.table(cols)
+
+    return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

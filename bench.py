@@ -1,0 +1,175 @@
+"""Benchmark harness (driver contract).
+
+    python bench.py                 # headline + per-query timings, one JSON line
+    python bench.py --scaling       # same headline at 8 and 32 CPUs in fresh
+                                    # processes -> throughputs + efficiency
+    python bench.py --headline-only # internal: single headline run
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+CPUs:  $RAY_GRAFT_CPUS (default 32).
+
+Headline metric: docs/s through the full flagship pipeline (synthesize
+interleaved docs -> polylabel kernel -> cell encode -> groupby(tile_id) ->
+tile render) over BENCH_DOCS documents synthesized from a doc-id range —
+the same generator the correctness queries use, scaled up so the kernel
+(not Ray startup) dominates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+
+
+def headline(num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow as pa
+
+    from polylabel_rs_ray.config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from polylabel_rs_ray.sources.docs import attach_interleaved
+    from polylabel_rs_ray.stages.cells import CellEncoder
+    from polylabel_rs_ray.stages.label import label_points
+    from polylabel_rs_ray.stages.tiles import render_tiles
+
+    # warmup: spin up workers so the measured run times the pipeline
+    ray.data.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    t0 = time.time()
+    # ~300-doc blocks: enough tasks to balance the ~1000x per-polygon cost
+    # skew (L-shape vs Norway) across the pool without per-task overhead
+    ds = ray.data.range(BENCH_DOCS, override_num_blocks=max(BENCH_DOCS // 300, num_cpus))
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        return attach_interleaved(
+            pa.table({"doc_id": batch.column("id").cast(pa.int64())})
+        )
+
+    ds = ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
+    ds = label_points(ds)
+    ds = ds.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        # the chain fuses into this actor pool, so size it to the machine,
+        # leaving slots for the range read and the tile shuffle
+        concurrency=max(2, num_cpus - 2),
+    )
+    tiles = render_tiles(ds.select_columns(["tile_id", "label_x", "label_y"]))
+    n_tiles = tiles.count()
+    wall = time.time() - t0
+    return {
+        "wall_s": wall,
+        "docs": BENCH_DOCS,
+        "docs_per_s": BENCH_DOCS / wall,
+        "n_tiles": n_tiles,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Time a representative query set over the sf dir."""
+    import __ray_entry__ as entrymod
+
+    names = [
+        "label_summary",
+        "label_dyadic",
+        "cell_encode",
+        "zone_join",
+        "knn_tiles",
+        "render_tiles",
+        "pricing_summary",
+        "top_orders",
+        "events_by_type",
+        "exact_dedup",
+        "minhash_near_dup",
+        "ann_topk",
+        "quality_scores",
+        "media_kind_counts",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume the stream without materializing wide results
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.headline_only:
+        h = headline(NUM_CPUS)
+        print("HEADLINE_JSON " + json.dumps(h))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                capture_output=True, text=True, env=env, timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("HEADLINE_JSON ")]
+            if not line:
+                raise RuntimeError(f"headline run at {cpus} cpus failed:\n{proc.stderr[-2000:]}")
+            results[cpus] = json.loads(line[-1][len("HEADLINE_JSON "):])
+        eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
+        print(json.dumps({
+            "metric": "flagship docs/s scaling N=8 -> 4N=32 cpus (fresh processes)",
+            "docs_per_s_8cpu": results[8]["docs_per_s"],
+            "docs_per_s_32cpu": results[32]["docs_per_s"],
+            "scaling_efficiency": eff,
+            "docs": BENCH_DOCS,
+            "unit": "docs/s",
+            "caveat": "single physical node; oversubscribed logical CPUs — "
+                      "demonstrates shard-parallelism, not hardware speedup",
+        }))
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True)
+    h = headline(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    total = h["wall_s"] + sum(queries.values())
+    print(json.dumps({
+        "metric": "flagship label+join+tile pipeline wall time "
+                  f"({BENCH_DOCS} interleaved docs) + query suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"flagship": round(h["wall_s"], 3), **queries},
+        "docs_per_s": round(h["docs_per_s"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

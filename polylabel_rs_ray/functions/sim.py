@@ -93,7 +93,11 @@ def ann_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5):
     def reduce_group(group: pa.Table) -> pa.Table:
         return topk_reduce(group, k)
 
-    return scored.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(scored, 8).groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow"
+    )
 
 
 class IvfScorer:
@@ -168,4 +172,8 @@ def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
     def reduce_group(group: pa.Table) -> pa.Table:
         return topk_reduce(group, k)
 
-    return scored.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(scored, 8).groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow"
+    )

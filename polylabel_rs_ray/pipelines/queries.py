@@ -257,6 +257,45 @@ def _sql_zone_join() -> str:
     )
 
 
+def q_zone_join_copartitioned(sf_dir: str):
+    """Same join, large-large shape: both sides keyed by cell_id through one
+    groupby shuffle (no broadcast).  Must equal q_zone_join row-for-row —
+    the oracle SQL is identical."""
+    from ..stages.join import copartitioned_zone_join
+
+    return copartitioned_zone_join(_dyadic_labeled(sf_dir))
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling-window (1h) aggregate per event_type — the streaming-style
+    windowed rollup, as a groupby over truncated event time."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "event_type": batch.column("event_type"),
+            "value_cents": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()),
+        })
+
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start", "event_type"],
+        [("count", None, "n_events"), ("sum", "value_cents", "sum_value_cents")],
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
 def q_knn_tiles(sf_dir: str):
     """k-nearest tile centers per label point (expanding-ring search)."""
     from ..stages.join import KnnTiles
@@ -749,7 +788,11 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             "jaccard_pct": pa.array(jj, type=pa.int64()),
         })
 
-    pairs = banded.groupby("bucket").map_groups(verify_group, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
+
+    pairs = coalesce_for_shuffle(banded).groupby("bucket").map_groups(
+        verify_group, batch_format="pyarrow"
+    )
     # candidate pairs can surface from several bands -> distinct
     return pairs.groupby(["doc_a", "doc_b", "jaccard_pct"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
@@ -825,7 +868,11 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98):
             "cos_pct": pa.array([int(round(p[2] * 100)) for p in pairs], type=pa.int64()),
         })
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    from ..stages.util import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(bucketed).groupby("bucket").map_groups(
+        verify, batch_format="pyarrow"
+    )
 
 
 def q_ann_topk(sf_dir: str):
@@ -897,6 +944,8 @@ def build_queries() -> dict:
         "span_integrity": q_span_integrity,
         "cell_encode": q_cell_encode,
         "zone_join": q_zone_join,
+        "zone_join_copartitioned": q_zone_join_copartitioned,
+        "events_windowed": q_events_windowed,
         "knn_tiles": q_knn_tiles,
         "tile_counts": q_tile_counts,
         "render_tiles": q_render_tiles,
@@ -927,6 +976,8 @@ def build_oracles() -> dict:
         "span_integrity": SQL_SPAN_INTEGRITY,
         "cell_encode": _sql_cell_encode(),
         "zone_join": _sql_zone_join(),
+        "zone_join_copartitioned": _sql_zone_join(),
+        "events_windowed": SQL_EVENTS_WINDOWED,
         "knn_tiles": _sql_knn_tiles(),
         "tile_counts": _sql_tile_counts(),
         # render_tiles: no oracle (binary tile payloads) -> rows-only

@@ -69,7 +69,11 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
             cols[name] = out.column(field.name)
         return pa.table(cols)
 
-    partial = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    from .util import coalesce_for_shuffle
+
+    partial = coalesce_for_shuffle(
+        ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
     final_aggs = []
     for func, _col, name in partial_aggs:

@@ -67,11 +67,60 @@ class TileRenderer:
         )
 
 
-def render_tiles(ds, tile_res: int = DEFAULT_TILE_RES, raster_px: int = 64):
-    """Dataset with (tile_id, label_x, label_y) -> one row per tile."""
+def render_tiles(ds, tile_res: int = DEFAULT_TILE_RES, raster_px: int = 64,
+                 salt: int = 1):
+    """Dataset with (tile_id, label_x, label_y) -> one row per tile.
+
+    ``salt > 1`` enables hot-key salting (SURVEY.md §4.2): rows are spread
+    over ``(tile_id, salt)`` sub-groups rendered independently, then the
+    sub-rasters are summed in a second (tiny) groupby — so one mega-tile
+    cannot pin a single reducer.  Output is identical to the unsalted path
+    (rasters are additive; point lists re-sorted on merge)."""
     renderer = TileRenderer(tile_res=tile_res, raster_px=raster_px)
 
     def render_tile_group(group: pa.Table) -> pa.Table:
         return renderer(group)
 
-    return ds.groupby("tile_id").map_groups(render_tile_group, batch_format="pyarrow")
+    from .util import coalesce_for_shuffle
+
+    if salt <= 1:
+        return coalesce_for_shuffle(ds).groupby("tile_id").map_groups(
+            render_tile_group, batch_format="pyarrow"
+        )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        x = batch.column("label_x").to_numpy()
+        s = (np.abs(x * 64389.0).astype(np.int64)) % salt
+        return batch.append_column("salt", pa.array(s, type=pa.int64()))
+
+    salted = coalesce_for_shuffle(
+        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    partial = salted.groupby(["tile_id", "salt"]).map_groups(
+        render_tile_group, batch_format="pyarrow"
+    )
+
+    px2 = raster_px
+
+    def merge_tile(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        grid = np.zeros((px2, px2), dtype=np.uint32)
+        xs, ys = [], []
+        for r in rows:
+            grid += np.frombuffer(r["raster"], dtype=np.uint32).reshape(px2, px2)
+            xs.extend(r["points_x"])
+            ys.extend(r["points_y"])
+        first = rows[0]
+        return pa.table({
+            "tile_id": pa.array([first["tile_id"]], type=pa.int64()),
+            "n_points": pa.array([sum(r["n_points"] for r in rows)], type=pa.int64()),
+            "n_zones_clipped": pa.array([first["n_zones_clipped"]], type=pa.int64()),
+            "raster": pa.array([grid.tobytes()], type=pa.binary()),
+            "raster_nonzero": pa.array([int((grid > 0).sum())], type=pa.int64()),
+            "raster_sum": pa.array([int(grid.sum())], type=pa.int64()),
+            "vector": pa.array([first["vector"]], type=pa.binary()),
+            "points_x": pa.array([sorted(xs)], type=pa.list_(pa.float64())),
+            "points_y": pa.array([sorted(ys)], type=pa.list_(pa.float64())),
+        })
+
+    return partial.groupby("tile_id").map_groups(merge_tile, batch_format="pyarrow")

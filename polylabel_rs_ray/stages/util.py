@@ -1,0 +1,25 @@
+"""Shuffle hygiene helpers.
+
+Ray Data's sort-based shuffle (sort / groupby / map_groups) launches
+O(input_blocks x output_blocks) exchange work; feeding it hundreds of tiny
+blocks (the right granularity for the skewed label kernel) multiplies
+scheduling overhead ~25x (measured: 120k-row sort 18.7s from 400 blocks vs
+0.75s from 64).  ``coalesce_for_shuffle`` repartitions narrow intermediate
+data down to ~one block per CPU before any wide operation."""
+
+from __future__ import annotations
+
+
+def shuffle_blocks(default: int = 32) -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:  # noqa: BLE001
+        pass
+    return default
+
+
+def coalesce_for_shuffle(ds, target: int | None = None):
+    return ds.repartition(target or shuffle_blocks())

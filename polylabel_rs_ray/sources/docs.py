@@ -166,11 +166,19 @@ def attach_interleaved(batch: pa.Table) -> pa.Table:
     """map_batches(batch_format="pyarrow") stage: given a batch carrying an
     integer ``doc_id`` column, append the interleaved-document columns
     (string doc_id, spans, rings, tolerance)."""
+    import pyarrow.compute as pc
+
     ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    ids_arr = pa.array(ids, type=pa.int64())
+    doc_id_str = pc.binary_join_element_wise(
+        pa.array(["doc-"] * len(ids), type=pa.string()),
+        pc.cast(ids_arr, pa.string()),
+        "",
+    )
     out = pa.table(
         {
-            "doc_id": pa.array(np.char.add("doc-", ids.astype(str)), type=pa.string()),
-            "doc_num": pa.array(ids, type=pa.int64()),
+            "doc_id": doc_id_str,
+            "doc_num": ids_arr,
             "spans": spans_for_doc_ids(ids),
             "rings": rings_for_doc_ids(ids),
             "tolerance": pa.array(tolerance_for_doc_ids(ids), type=pa.float64()),

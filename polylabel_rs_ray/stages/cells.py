@@ -165,6 +165,27 @@ def sql_morton_expr(ix_expr: str, iy_expr: str, res: int) -> str:
     return f"CAST((CAST({res} AS BIGINT) << {_RES_SHIFT}) | ({morton}) AS BIGINT)"
 
 
+def append_cell_columns(
+    batch: pa.Table,
+    cell_res: int = DEFAULT_CELL_RES,
+    tile_res: int | None = None,
+    x_col: str = "label_x",
+    y_col: str = "label_y",
+) -> pa.Table:
+    """Stateless function form of the cell encoding (same bit math, no LUT) —
+    used where elastic task parallelism matters more than per-actor state."""
+    x = batch.column(x_col).to_numpy()
+    y = batch.column(y_col).to_numpy()
+    ix, iy = grid_coords(x, y, cell_res)
+    out = batch.append_column("cell_id", pa.array(encode_cells(ix, iy, cell_res), type=pa.int64()))
+    if tile_res is not None:
+        shift = cell_res - tile_res
+        out = out.append_column(
+            "tile_id", pa.array(encode_cells(ix >> shift, iy >> shift, tile_res), type=pa.int64())
+        )
+    return out
+
+
 class CellEncoder:
     """Actor-pool map_batches stage: append cell_id (join key) and tile_id
     (coarser parent) for the label point of each row.

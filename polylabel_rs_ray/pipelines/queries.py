@@ -598,6 +598,107 @@ SQL_LANG_COUNTS = """
 """
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity): per-user event streams
+    sorted by time inside ``groupby(user_id).map_groups`` — the stateful
+    ordered-within-key pattern; output is one row per session."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        uid = int(group.column("user_id")[0].as_py())
+        new_session = np.empty(len(ts), dtype=bool)
+        new_session[0] = True
+        np.greater(np.diff(ts), GAP_US, out=new_session[1:])
+        sid = np.cumsum(new_session)  # 1-based session index per user
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], len(ts))
+        return pa.table({
+            "user_id": pa.array(np.full(len(starts), uid), type=pa.int64()),
+            "session_idx": pa.array(np.arange(1, len(starts) + 1), type=pa.int64()),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+            "session_start": pa.array(ts[starts].astype("datetime64[us]")),
+            "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
+        })
+
+    from ..stages.util import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(ds).groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow"
+    )
+
+
+SQL_SESSIONIZE = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+def q_orders_without_lineitems(sf_dir: str):
+    """Anti join: orders with no lineitem rows (broadcast key-set filter)."""
+    ray = _ray()
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    key_set = np.unique(keys.column("l_orderkey").to_numpy())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy()
+        mask = ~np.isin(ok, key_set)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ORDERS_WITHOUT_LINEITEMS = """
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def q_distinct_sources(sf_dir: str):
+    """Distinct/unique over a projected column (set op)."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        # map-side distinct before the tiny global distinct
+        return pa.table({"source": pa.array(sorted(set(batch.column("source").to_pylist())))})
+
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.map_batches(dedup_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("count", None, "n_partials")],
+    ).select_columns(["source"])
+
+
+SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
+
+
 # --------------------------------------------------------------------------
 # training-data ops: quality, langid, fingerprint, dedup, similarity, media
 # --------------------------------------------------------------------------
@@ -946,6 +1047,9 @@ def build_queries() -> dict:
         "zone_join": q_zone_join,
         "zone_join_copartitioned": q_zone_join_copartitioned,
         "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
+        "orders_without_lineitems": q_orders_without_lineitems,
+        "distinct_sources": q_distinct_sources,
         "knn_tiles": q_knn_tiles,
         "tile_counts": q_tile_counts,
         "render_tiles": q_render_tiles,
@@ -978,6 +1082,9 @@ def build_oracles() -> dict:
         "zone_join": _sql_zone_join(),
         "zone_join_copartitioned": _sql_zone_join(),
         "events_windowed": SQL_EVENTS_WINDOWED,
+        "sessionize": SQL_SESSIONIZE,
+        "orders_without_lineitems": SQL_ORDERS_WITHOUT_LINEITEMS,
+        "distinct_sources": SQL_DISTINCT_SOURCES,
         "knn_tiles": _sql_knn_tiles(),
         "tile_counts": _sql_tile_counts(),
         # render_tiles: no oracle (binary tile payloads) -> rows-only

@@ -121,6 +121,7 @@ class PreparedBatch:
     d2: np.ndarray  # dx*dx + dy*dy
     eoff: np.ndarray  # (P,) first edge index of polygon p
     ecnt: np.ndarray  # (P,) edge count of polygon p
+    pair_cache: tuple | None = None  # memoized ragged pair indices
 
 
 def prepare_edges(polys: list[list[np.ndarray]]) -> PreparedBatch:
@@ -185,8 +186,11 @@ def _pair_scores(
         dist2 = ex * ex + ey * ey
 
         cond_y = (ay > pyp) != (by > pyp)
-        xint = dx * wy / dy + ax
-        flips = cond_y & (pxp < xint)
+        # the crossing x is only needed where the edge straddles the ray's y
+        # (identical fp result; the division is just masked out elsewhere)
+        xint = np.empty_like(dx)
+        np.divide(dx * wy, dy, out=xint, where=cond_y)
+        flips = cond_y & (pxp < (xint + ax))
     return dist2, flips
 
 
@@ -200,13 +204,22 @@ def score_points_flat(
     K = len(px)
     if K == 0:
         return np.empty(0, dtype=np.float64)
-    ecnt = prep.ecnt[poly_of_point]  # edges per point
-    starts = prep.eoff[poly_of_point]
-    total = int(ecnt.sum())
-    seg_start = np.zeros(K, dtype=np.int64)
-    np.cumsum(ecnt[:-1], out=seg_start[1:])
-    point_rep = np.repeat(np.arange(K), ecnt)
-    pair_idx = np.arange(total, dtype=np.int64) - seg_start[point_rep] + starts[point_rep]
+    # memoize the ragged pair-index arrays: in lockstep batches the active
+    # point->polygon layout repeats across many rounds (cache lives on the
+    # prep object, so its lifetime matches the batch)
+    key = poly_of_point.tobytes()
+    cached = getattr(prep, "pair_cache", None)
+    if cached is not None and cached[0] == key:
+        point_rep, pair_idx, seg_start = cached[1]
+    else:
+        ecnt = prep.ecnt[poly_of_point]  # edges per point
+        starts = prep.eoff[poly_of_point]
+        total = int(ecnt.sum())
+        seg_start = np.zeros(K, dtype=np.int64)
+        np.cumsum(ecnt[:-1], out=seg_start[1:])
+        point_rep = np.repeat(np.arange(K), ecnt)
+        pair_idx = np.arange(total, dtype=np.int64) - seg_start[point_rep] + starts[point_rep]
+        prep.pair_cache = (key, (point_rep, pair_idx, seg_start))
 
     dist2, flips = _pair_scores(
         px[point_rep],
@@ -348,6 +361,118 @@ class PreparedLarge:
         return min2, nflips
 
 
+class LargeGroup:
+    """Every large polygon of a batch concatenated into one flat block-skip
+    scorer, so one lockstep round's children across ALL large polygons are
+    scored in ~2 vectorized calls instead of one call per polygon.
+
+    Evaluation set per point: (a) its own parity-relevant (cross) blocks,
+    (b) its first minimal-lower-bound block, then (c) every block whose
+    bbox lower bound beats the phase-(a/b) minimum — a superset of the
+    argmin edge and all parity edges, so min/parity are bit-identical to
+    the dense path (same argument as PreparedLarge.score)."""
+
+    def __init__(self, preps: list[PreparedLarge]):
+        self.ax = np.concatenate([p.ax for p in preps])
+        self.ay = np.concatenate([p.ay for p in preps])
+        self.by = np.concatenate([p.by for p in preps])
+        self.dx = np.concatenate([p.dx for p in preps])
+        self.dy = np.concatenate([p.dy for p in preps])
+        self.d2 = np.concatenate([p.d2 for p in preps])
+        self.pad = np.concatenate([p.pad_mask for p in preps])
+        self.bxmin = np.concatenate([p.bxmin for p in preps])
+        self.bxmax = np.concatenate([p.bxmax for p in preps])
+        self.bymin = np.concatenate([p.bymin for p in preps])
+        self.bymax = np.concatenate([p.bymax for p in preps])
+        self.nb = np.array([p.nblocks for p in preps], dtype=np.int64)
+        self.block_off = np.zeros(len(preps), dtype=np.int64)
+        np.cumsum(self.nb[:-1], out=self.block_off[1:])
+
+    def _eval_pairs(self, px, py, e_pt, blk, count_flips):
+        """Evaluate 32 edges for each (point e_pt[i], block blk[i]) pair ->
+        per-pair block min dist^2 (+ flip counts)."""
+        n = len(blk)
+        edge = (blk[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)[None, :]).ravel()
+        ax = self.ax[edge]
+        ay = self.ay[edge]
+        dx = self.dx[edge]
+        dy = self.dy[edge]
+        d2 = self.d2[edge]
+        by = self.by[edge]
+        pad = self.pad[edge]
+        pxp = np.repeat(px[e_pt], BLOCK_SIZE)
+        pyp = np.repeat(py[e_pt], BLOCK_SIZE)
+        wx = pxp - ax
+        wy = pyp - ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (wx * dx + wy * dy) / d2
+            t = np.where(d2 > 0.0, t, 0.0)
+            np.clip(t, 0.0, 1.0, out=t)
+            ex = wx - t * dx
+            ey = wy - t * dy
+            dist2 = ex * ex + ey * ey
+        dist2 = np.where(pad | ~np.isfinite(dist2), np.inf, dist2)
+        min2_pb = dist2.reshape(n, BLOCK_SIZE).min(axis=1)
+        if count_flips:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cond_y = (ay > pyp) != (by > pyp)
+                xint = dx * wy / dy + ax
+                flips = cond_y & (pxp < xint) & ~pad
+            nf_pb = flips.reshape(n, BLOCK_SIZE).sum(axis=1)
+        else:
+            nf_pb = None
+        return min2_pb, nf_pb
+
+    def score(self, px: np.ndarray, py: np.ndarray, slot: np.ndarray) -> np.ndarray:
+        K = len(px)
+        nb_k = self.nb[slot]
+        total = int(nb_k.sum())
+        seg = np.zeros(K, dtype=np.int64)
+        np.cumsum(nb_k[:-1], out=seg[1:])
+        pair_pt = np.repeat(np.arange(K), nb_k)
+        pair_blk = np.arange(total, dtype=np.int64) - seg[pair_pt] + self.block_off[slot][pair_pt]
+
+        pxp = px[pair_pt]
+        pyp = py[pair_pt]
+        bxmin = self.bxmin[pair_blk]
+        bxmax = self.bxmax[pair_blk]
+        bymin = self.bymin[pair_blk]
+        bymax = self.bymax[pair_blk]
+        ddx = np.maximum(bxmin - pxp, 0.0) + np.maximum(pxp - bxmax, 0.0)
+        ddy = np.maximum(bymin - pyp, 0.0) + np.maximum(pyp - bymax, 0.0)
+        lb2 = ddx * ddx + ddy * ddy
+        cross = ~((pyp < bymin) | (pyp >= bymax) | (pxp > bxmax))
+
+        # first minimal-lb block per point
+        seg_min = np.minimum.reduceat(lb2, seg)
+        idx_in_seg = np.arange(total, dtype=np.int64) - seg[pair_pt]
+        cand_pos = np.where(lb2 == seg_min[pair_pt], idx_in_seg, total)
+        first_pos = np.minimum.reduceat(cand_pos, seg)
+        is_seed = idx_in_seg == first_pos[pair_pt]
+
+        need1 = cross | is_seed
+        sel1 = np.flatnonzero(need1)
+        min2_pb, nf_pb = self._eval_pairs(px, py, pair_pt[sel1], pair_blk[sel1], True)
+        cnt1 = np.add.reduceat(need1.astype(np.int64), seg)
+        b1 = np.zeros(K, dtype=np.int64)
+        np.cumsum(cnt1[:-1], out=b1[1:])
+        est2 = np.minimum.reduceat(min2_pb, b1)  # cnt1 >= 1 always (seed)
+        nflips = np.add.reduceat(nf_pb, b1)
+
+        need2 = ~need1 & (lb2 < est2[pair_pt])
+        sel2 = np.flatnonzero(need2)
+        if len(sel2):
+            min2_pb2, _ = self._eval_pairs(px, py, pair_pt[sel2], pair_blk[sel2], False)
+            cnt2 = np.add.reduceat(need2.astype(np.int64), seg)
+            nz = np.flatnonzero(cnt2)
+            b2 = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(cnt2[nz][:-1], out=b2[1:])
+            est2[nz] = np.minimum(est2[nz], np.minimum.reduceat(min2_pb2, b2))
+
+        d = np.sqrt(est2)
+        return np.where((nflips & 1).astype(bool), d, -d)
+
+
 class _PolyState:
     """Per-polygon best-first search state (heap + best), lockstep-driven."""
 
@@ -417,6 +542,7 @@ def polylabel_batch(
     norm_polys: list[list[np.ndarray] | None] = []
     small_polys: list[list[np.ndarray]] = []
     small_ids: list[int] = []
+    large_preps: list[PreparedLarge] = []
     states: dict[int, _PolyState] = {}
     seeds: list[tuple[int, float, float, float]] = []  # (poly, cx, cy, h)
 
@@ -463,7 +589,8 @@ def polylabel_batch(
         states[i] = st
         nedges = sum(len(r) for r in rs)
         if nedges >= LARGE_EDGE_THRESHOLD:
-            st.large = PreparedLarge(rs)
+            st.large = len(large_preps)  # slot in the batch's LargeGroup
+            large_preps.append(PreparedLarge(rs))
         else:
             small_ids.append(i)
             small_polys.append(rs)
@@ -488,7 +615,8 @@ def polylabel_batch(
     if seeds:
         small_prep = prepare_edges(small_polys)
         small_slot = {pid: k for k, pid in enumerate(small_ids)}
-        _score_mixed(seeds, states, small_prep, small_slot)
+        large_group = LargeGroup(large_preps) if large_preps else None
+        _score_mixed(seeds, states, small_prep, small_slot, large_group)
         for i, cx, cy, h, d in _drain_scored(seeds):
             st = states[i]
             if h == -2.0:
@@ -520,7 +648,7 @@ def polylabel_batch(
                     requests.append((i, cx + h2, cy + h2, h2))
             if not requests:
                 break
-            _score_mixed(requests, states, small_prep, small_slot)
+            _score_mixed(requests, states, small_prep, small_slot, large_group)
             for i, cx, cy, h, d in _drain_scored(requests):
                 states[i].push(cx, cy, h, d)
             live = [i for i in live if not states[i].done]
@@ -544,28 +672,31 @@ def _score_mixed(
     states: dict[int, _PolyState],
     small_prep: PreparedBatch,
     small_slot: dict[int, int],
+    large_group: "LargeGroup | None" = None,
 ) -> None:
     """Score (poly, cx, cy, h) cells: small polygons in one flat call,
-    large polygons per-polygon via the block-skip path.  Stores the distance
-    array for `_drain_scored`."""
+    large polygons in one flat block-skip call over the whole batch.
+    Stores the distance array for `_drain_scored`."""
     d_out = np.empty(len(cells))
     sm_idx: list[int] = []
-    lg_by_poly: dict[int, list[int]] = {}
+    lg_idx: list[int] = []
+    lg_slots: list[int] = []
     for k, (pid, _, _, _) in enumerate(cells):
-        if states[pid].large is None:
+        slot = states[pid].large
+        if slot is None:
             sm_idx.append(k)
         else:
-            lg_by_poly.setdefault(pid, []).append(k)
+            lg_idx.append(k)
+            lg_slots.append(slot)
     if sm_idx:
         px = np.array([cells[k][1] for k in sm_idx])
         py = np.array([cells[k][2] for k in sm_idx])
         slot = np.array([small_slot[cells[k][0]] for k in sm_idx], dtype=np.int64)
-        d = score_points_flat(px, py, slot, small_prep)
-        d_out[sm_idx] = d
-    for pid, ks in lg_by_poly.items():
-        px = np.array([cells[k][1] for k in ks])
-        py = np.array([cells[k][2] for k in ks])
-        d_out[ks] = states[pid].large.score(px, py)
+        d_out[sm_idx] = score_points_flat(px, py, slot, small_prep)
+    if lg_idx:
+        px = np.array([cells[k][1] for k in lg_idx])
+        py = np.array([cells[k][2] for k in lg_idx])
+        d_out[lg_idx] = large_group.score(px, py, np.asarray(lg_slots, dtype=np.int64))
     _SCORED.clear()
     _SCORED.append(d_out)
 

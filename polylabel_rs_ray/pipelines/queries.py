@@ -858,11 +858,17 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     )
 
     # broadcast corpus for verification (small side here; co-partitioned
-    # shingle join at scale — see functions/dedup.py docstring)
-    corpus = {
-        int(r["doc_id"]): r["text"]
-        for r in _corpus_with_planted_dups(sf_dir).iter_rows()
-    }
+    # shingle join at scale — see functions/dedup.py docstring).  Built once
+    # from the source parquet with the same deterministic planting — no
+    # second pipeline run, no driver-side row iteration.
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus: dict[int, str] = {}
+    for i, t in zip(base.column("doc_id").to_pylist(), base.column("text").to_pylist()):
+        corpus[int(i)] = t
+        if int(i) % DUP_EVERY == 0:
+            corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
     corpus_ref = ray.put(corpus)
 
     def verify_group(group: pa.Table) -> pa.Table:

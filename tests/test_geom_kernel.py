@@ -167,6 +167,21 @@ def test_signed_area_and_centroid():
     assert polygon_signed_area([np.asarray(fx.rings[0])]) == 7.0
 
 
+def test_queue_pop_order():
+    # mirrors the reference's test_queue (lib.rs:474-500): cells pop in
+    # descending max_distance order
+    from polylabel_rs_ray.geom.kernel import _PolyState
+
+    st = _PolyState(1.0)
+    # push with distances chosen so max_distance = d (half_extent 0)
+    for d in [8.0, 7.0, 9.0]:
+        st.push(1.0, 2.0, 0.0, d)
+    import heapq
+
+    popped = [-heapq.heappop(st.heap)[0] for _ in range(3)]
+    assert popped == [9.0, 8.0, 7.0]
+
+
 def test_score_points_flat_signs():
     fx = FIXTURES["l_shape"]
     prep = prepare_edges([fx.rings])

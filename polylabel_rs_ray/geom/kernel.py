@@ -53,6 +53,10 @@ ERR_OK = ""
 ERR_NONFINITE = "nonfinite_coordinate"
 ERR_EMPTY = "empty_polygon"
 ERR_MAXITER = "max_iterations"
+ERR_SEED_OVERFLOW = "seed_grid_overflow"
+MAX_SEED_CELLS = 1 << 22  # extreme-aspect polygons: the reference's seeding
+# grid is ceil(w/cs)*ceil(h/cs) cells with cs = min(w, h) (lib.rs:267-268),
+# which explodes for slivers; the engine degrades to an error row instead
 
 
 def normalize_ring(ring: np.ndarray) -> np.ndarray:
@@ -604,6 +608,12 @@ def polylabel_batch(
         seeds.append((i, bbc[0], bbc[1], -1.0))  # marker: bbox guess
         nx = int(np.ceil(w / cell_size))
         ny = int(np.ceil(hgt / cell_size))
+        if nx * ny > MAX_SEED_CELLS:
+            # the centroid/bbox guess seeds are already queued above, so the
+            # row still carries a usable (if coarse) label plus the error
+            st.done = True
+            st.err = ERR_SEED_OVERFLOW
+            continue
         # reference iterates x outer, y inner (lib.rs:274-281)
         for gx in range(nx):
             for gy in range(ny):

@@ -1,0 +1,67 @@
+"""Kernel edge cases beyond the reference's suite: inputs that must never
+panic a task (the reference would panic on some of these — lib.rs:64-66)."""
+
+import math
+
+import numpy as np
+
+from polylabel_rs_ray.geom.kernel import MAX_POPS, polylabel_batch, polylabel_one
+
+
+def test_zero_tolerance_converges_or_guards():
+    # tolerance 0: subdivision continues until max_distance - best reaches
+    # exact fp equality (converges to the true pole) or the MAX_POPS guard
+    # fires; either way no hang and a near-optimal answer
+    rings = [np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0), (0.0, 4.0)])]
+    x, y, d, a, e = polylabel_one(rings, 0.0)
+    assert e in ("", "max_iterations")
+    assert abs(x - y) < 1e-9  # pole lies on the diagonal
+    assert d > 0.58  # true clearance 2 - sqrt(2) ~ 0.5858
+
+
+def test_huge_coordinates():
+    big = 1e12
+    rings = [np.array([(big, big), (big + 4, big), (big + 4, big + 4), (big, big + 4)])]
+    x, y, d, a, e = polylabel_one(rings, 0.1)
+    assert e == ""
+    assert big < x < big + 4 and big < y < big + 4
+    assert abs(d - 2.0) <= 0.1 + 1e-3  # center clearance of a 4x4 square
+
+
+def test_hole_covering_whole_shell():
+    # hole == shell -> zero net area in geo's signed sum only if orientations
+    # oppose; same-orientation rings double the area instead — either way no
+    # crash and a finite result
+    shell = np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])
+    hole_cw = shell[::-1].copy()
+    x, y, d, a, e = polylabel_one([shell, hole_cw], 0.5)
+    assert a == 0.0  # opposite orientations cancel -> degenerate sentinel
+    assert (x, y) == (0.0, 0.0)
+
+
+def test_single_point_and_two_point_rings():
+    assert polylabel_one([np.array([(1.0, 1.0)])], 0.5)[4] in ("", "empty_polygon")
+    x, y, d, a, e = polylabel_one([np.array([(0.0, 0.0), (1.0, 1.0)])], 0.5)
+    assert (x, y) == (0.0, 0.0)  # zero area -> sentinel
+
+
+def test_mixed_batch_with_errors():
+    polys = [
+        [np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])],
+        [np.array([(0.0, 0.0), (np.inf, 0.0), (1.0, 1.0)])],
+        [],
+        [np.array([(0.0, 0.0), (2.0, 0.0), (1.0, 2.0)])],
+    ]
+    x, y, d, a, e = polylabel_batch(polys, np.array([0.1, 0.1, 0.1, 0.1]))
+    assert e == ["", "nonfinite_coordinate", "empty_polygon", ""]
+    assert not math.isnan(x[0]) and not math.isnan(x[3])
+    assert math.isnan(x[1]) and math.isnan(x[2])
+
+
+def test_thin_sliver_polygon_seed_guard():
+    # aspect ratio 1e11: the reference's seeding grid would be ~1e11 cells
+    # (lib.rs:267-268) — the engine degrades to the guess + an error code
+    rings = [np.array([(0.0, 0.0), (100.0, 0.0), (100.0, 1e-9), (0.0, 1e-9)])]
+    x, y, d, a, e = polylabel_one(rings, 1e-10)
+    assert e == "seed_grid_overflow"
+    assert 0 <= x <= 100 and 0 <= y <= 1e-9  # guess still inside the bbox

@@ -42,10 +42,14 @@ def run_label_partition(desc: dict) -> pa.Table:
     import ray
 
     from .sources.docs import attach_interleaved
-    from .stages.cells import CellEncoder
+    from .stages.cells import append_cell_columns
     from .stages.label import label_points
 
-    ds = ray.data.range(desc["hi"] - desc["lo"])
+    # one dominant compute stage -> per-op CPU reservation only starves it
+    ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+
+    n = desc["hi"] - desc["lo"]
+    ds = ray.data.range(n, override_num_blocks=max(n // 300, 8))
 
     lo = desc["lo"]
 
@@ -54,14 +58,14 @@ def run_label_partition(desc: dict) -> pa.Table:
         return attach_interleaved(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
 
     ds = ds.map_batches(to_doc_ids, batch_format="pyarrow", zero_copy_batch=True)
-    ds = label_points(ds)
-    ds = ds.map_batches(
-        CellEncoder,
-        fn_constructor_kwargs={"cell_res": desc["cell_res"], "tile_res": desc["tile_res"]},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
-    )
+    ds = label_points(ds, batch_size=300)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return append_cell_columns(
+            batch, cell_res=desc["cell_res"], tile_res=desc["tile_res"]
+        )
+
+    ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.drop_columns(["rings"])  # labels + lineage only in the sink
     # one partition's output is bounded by construction (n_docs / n_parts
     # rows), so collecting its blocks to write a single partition file is a

@@ -214,7 +214,7 @@ def score_points_flat(
     key = poly_of_point.tobytes()
     cached = getattr(prep, "pair_cache", None)
     if cached is not None and cached[0] == key:
-        point_rep, pair_idx, seg_start = cached[1]
+        point_rep, seg_start, edges = cached[1]
     else:
         ecnt = prep.ecnt[poly_of_point]  # edges per point
         starts = prep.eoff[poly_of_point]
@@ -223,18 +223,19 @@ def score_points_flat(
         np.cumsum(ecnt[:-1], out=seg_start[1:])
         point_rep = np.repeat(np.arange(K), ecnt)
         pair_idx = np.arange(total, dtype=np.int64) - seg_start[point_rep] + starts[point_rep]
-        prep.pair_cache = (key, (point_rep, pair_idx, seg_start))
+        # the gathered per-pair edge arrays depend only on the layout, so
+        # they are cached alongside it (values are read-only views of prep)
+        edges = (
+            prep.ax[pair_idx],
+            prep.ay[pair_idx],
+            prep.dx[pair_idx],
+            prep.dy[pair_idx],
+            prep.d2[pair_idx],
+            prep.by[pair_idx],
+        )
+        prep.pair_cache = (key, (point_rep, seg_start, edges))
 
-    dist2, flips = _pair_scores(
-        px[point_rep],
-        py[point_rep],
-        prep.ax[pair_idx],
-        prep.ay[pair_idx],
-        prep.dx[pair_idx],
-        prep.dy[pair_idx],
-        prep.d2[pair_idx],
-        prep.by[pair_idx],
-    )
+    dist2, flips = _pair_scores(px[point_rep], py[point_rep], *edges)
     mind2 = np.minimum.reduceat(dist2, seg_start)
     nflips = np.add.reduceat(flips.astype(np.int64), seg_start)
     d = np.sqrt(mind2)

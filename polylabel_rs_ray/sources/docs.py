@@ -192,9 +192,10 @@ def read_docs(sf_dir: str, columns: list[str] | None = None):
 
     On a real deployment this is ``ray.data.read_lance`` over the Lance table
     (input_hint); in this sandbox the same logical table is synthesized
-    deterministically from the documents parquet's doc_id column — only the
-    needed column leaves storage (prune-at-read)."""
-    import ray
+    deterministically from the documents table's doc_id column — only the
+    needed column leaves storage (prune-at-read).  The format is resolved by
+    ``sources.table.read_table`` (Lance if available, Parquet fallback)."""
+    from .table import read_table
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
     return ds.map_batches(attach_interleaved, batch_format="pyarrow", zero_copy_batch=True)

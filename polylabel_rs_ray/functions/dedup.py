@@ -34,17 +34,43 @@ def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingles(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes (uint64 holding 32-bit values)."""
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
+_WORD_HASH: dict[str, int] = {}  # per-process blake2b word-hash cache
+_MIX = (np.uint64(0x9E3779B1), np.uint64(0x85EBCA77), np.uint64(0xC2B2AE3D))
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _word_hash_array(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    wh = _WORD_HASH
+    for i, t in enumerate(tokens):
+        h = wh.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=4).digest(), "little")
+            wh[t] = h
+        out[i] = h
     return out
+
+
+def shingles(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hashes (uint64 holding 32-bit values).
+
+    Words are hashed once per process (blake2b, cached); an n-gram's hash is
+    a vectorized multiplicative mix of its word hashes — the per-shingle
+    string join + hash of the naive version collapses to numpy ops."""
+    toks = text.lower().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    wh = _word_hash_array(toks)
+    if len(toks) < n:
+        h = np.uint64(0)
+        for k, v in enumerate(wh):
+            h ^= (v * _MIX[k % 3]) & _MASK32
+        return np.array([h & _MASK32], dtype=np.uint64)
+    a = wh[: len(wh) - n + 1]
+    h = (a * _MIX[0]) & _MASK32
+    for k in range(1, n):
+        h = (h ^ (wh[k : len(wh) - n + 1 + k] * _MIX[k % 3])) & _MASK32
+    return h
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

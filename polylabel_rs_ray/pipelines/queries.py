@@ -43,10 +43,22 @@ def _ray():
 # geometry / labeling queries
 # --------------------------------------------------------------------------
 
+_LABELED_CACHE: dict[str, object] = {}
+
+
 def labeled_docs(sf_dir: str):
     """Interleaved docs (synthesized from the documents table's doc_id) with
-    label columns appended — the first half of the flagship pipeline."""
-    return label_points(docs_mod.read_docs(sf_dir))
+    label columns appended — the first half of the flagship pipeline.
+
+    The labeled dataset is materialized once per sf_dir per session (it is
+    small — one row per documents-table row) and shared by every downstream
+    query, so the driver's sequential correctness sweep doesn't re-run the
+    kernel per query."""
+    ds = _LABELED_CACHE.get(sf_dir)
+    if ds is None:
+        ds = label_points(docs_mod.read_docs(sf_dir)).materialize()
+        _LABELED_CACHE[sf_dir] = ds
+    return ds
 
 
 def q_label_dyadic(sf_dir: str):
@@ -827,6 +839,18 @@ def _corpus_with_planted_dups(sf_dir: str):
     return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_MINHASHER = None
+
+
+def _minhasher():
+    global _MINHASHER
+    if _MINHASHER is None:
+        from ..functions.dedup import MinHasher
+
+        _MINHASHER = MinHasher()
+    return _MINHASHER
+
+
 def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: signature (actor pool) -> band explode ->
     groupby(band bucket) candidate pairs -> exact-Jaccard verify against the
@@ -836,26 +860,23 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
     ray = _ray()
     ds = _corpus_with_planted_dups(sf_dir)
 
-    class SignBand:
-        def __init__(self):
-            self.mh = MinHasher()
+    def sign_band(batch: pa.Table) -> pa.Table:
+        # stateless tasks (scale with CPUs); the MinHasher is deterministic
+        # and cached per worker process
+        mh = _minhasher()
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_bucket = [], []
+        for i, t in zip(ids, texts):
+            bh = band_hashes(mh.signature(t or ""))
+            out_doc.extend([int(i)] * LSH_BANDS)
+            out_bucket.extend(bh.tolist())
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "bucket": pa.array(out_bucket, type=pa.int64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy()
-            texts = batch.column("text").to_pylist()
-            out_doc, out_bucket = [], []
-            for i, t in zip(ids, texts):
-                bh = band_hashes(self.mh.signature(t or ""))
-                out_doc.extend([int(i)] * LSH_BANDS)
-                out_bucket.extend(bh.tolist())
-            return pa.table({
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "bucket": pa.array(out_bucket, type=pa.int64()),
-            })
-
-    banded = ds.map_batches(
-        SignBand, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
-    )
+    banded = ds.map_batches(sign_band, batch_format="pyarrow", zero_copy_batch=True)
 
     # broadcast corpus for verification (small side here; co-partitioned
     # shingle join at scale — see functions/dedup.py docstring).  Built once
@@ -871,38 +892,82 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
             corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
     corpus_ref = ray.put(corpus)
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(ids) < 2:
-            return pa.table({
-                "doc_a": pa.array([], type=pa.int64()),
-                "doc_b": pa.array([], type=pa.int64()),
-                "jaccard_pct": pa.array([], type=pa.int64()),
-            })
+    # Candidate generation: almost every LSH bucket is a singleton and
+    # per-group UDF invocations dominate (measured 17k hot buckets at
+    # sf0.1), so bucket-collision pairs are generated VECTORIZED in one task
+    # over the sorted band table (it is tiny: 16 bytes/row).  At 10^12-doc
+    # scale this single task becomes a hash-partitioned map over bucket
+    # ranges — same code per partition.
+    def candidate_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        b = batch.column("bucket").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        order = np.lexsort((d, b))
+        b = b[order]
+        d = d[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        da, db = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            mem = np.unique(d[s:e])
+            if len(mem) < 2:
+                continue
+            iu, ju = np.triu_indices(len(mem), k=1)
+            da.append(mem[iu])
+            db.append(mem[ju])
+        if not da:
+            return empty
+        A = np.concatenate(da)
+        B = np.concatenate(db)
+        key = A * np.int64(1 << 31) + B  # doc ids < 2^21 here; no overflow
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({
+            "doc_a": pa.array(A[idx], type=pa.int64()),
+            "doc_b": pa.array(B[idx], type=pa.int64()),
+        })
+
+    cands = banded.repartition(1).map_batches(
+        candidate_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # Verification: exact word-3-gram Jaccard per candidate pair, parallel
+    # stateless tasks over pair batches; the corpus is fetched from the
+    # shared object store per task and shingle sets cached per doc.
+    def verify_pairs(batch: pa.Table) -> pa.Table:
         texts = ray.get(corpus_ref)
-        sh = {i: shingles(texts.get(i, "")) for i in ids}
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            v = cache.get(i)
+            if v is None:
+                v = shingles(texts.get(i, ""))
+                cache[i] = v
+            return v
+
+        A = batch.column("doc_a").to_numpy()
+        B = batch.column("doc_b").to_numpy()
         da, db, jj = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                j = jaccard(sh[ids[x]], sh[ids[y]])
-                if j >= threshold:
-                    da.append(ids[x])
-                    db.append(ids[y])
-                    jj.append(int(round(j * 100)))
+        for a_id, b_id in zip(A, B):
+            j = jaccard(sh(int(a_id)), sh(int(b_id)))
+            if j >= threshold:
+                da.append(int(a_id))
+                db.append(int(b_id))
+                jj.append(int(round(j * 100)))
         return pa.table({
             "doc_a": pa.array(da, type=pa.int64()),
             "doc_b": pa.array(db, type=pa.int64()),
             "jaccard_pct": pa.array(jj, type=pa.int64()),
         })
 
-    from ..stages.util import coalesce_for_shuffle
-
-    pairs = coalesce_for_shuffle(banded).groupby("bucket").map_groups(
-        verify_group, batch_format="pyarrow"
-    )
-    # candidate pairs can surface from several bands -> distinct
-    return pairs.groupby(["doc_a", "doc_b", "jaccard_pct"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return cands.map_batches(
+        verify_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
     )
 
 

@@ -58,6 +58,31 @@ def test_mixed_batch_with_errors():
     assert math.isnan(x[1]) and math.isnan(x[2])
 
 
+def test_mixed_distinct_large_polygons_batch():
+    # several DIFFERENT large polygons (different edge/block counts) in one
+    # batch exercise the ragged flat block scorer; results must equal the
+    # one-at-a-time path exactly
+    from polylabel_rs_ray.sources.fixtures import FIXTURES
+
+    theta = np.linspace(0, 2 * np.pi, 700, endpoint=False)
+    circle = np.column_stack([50 + 40 * np.cos(theta), 50 + 40 * np.sin(theta)])
+    theta2 = np.linspace(0, 2 * np.pi, 450, endpoint=False)
+    star_r = 30 + 10 * np.cos(7 * theta2)
+    star = np.column_stack([200 + star_r * np.cos(theta2), 200 + star_r * np.sin(theta2)])
+    norway = FIXTURES["norway_main"].rings[0]
+
+    polys = [[circle], [norway], [star], [circle + 1000.0]]
+    tols = np.array([0.5, 1.0, 0.5, 0.5])
+    bx, by, bd, ba, be = polylabel_batch(polys, tols)
+    for i in range(4):
+        x, y, d, a, e = polylabel_one(polys[i], float(tols[i]))
+        assert (bx[i], by[i], bd[i]) == (x, y, d), i
+        assert be[i] == e == ""
+    # circle pole = its centre within tolerance
+    assert abs(bx[0] - 50) <= 0.5 and abs(by[0] - 50) <= 0.5
+    assert abs(bd[0] - 40) <= 0.5 + 1e-9
+
+
 def test_thin_sliver_polygon_seed_guard():
     # aspect ratio 1e11: the reference's seeding grid would be ~1e11 cells
     # (lib.rs:267-268) — the engine degrades to the guess + an error code

@@ -217,6 +217,16 @@ def _dyadic_labeled(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_labeled_output(sf_dir: str):
+    """The full per-document output table (FIXTURES.md §3 schema) — the
+    product a consumer of the engine reads.  Rows-only (nested struct/list
+    payloads); the scalar columns are covered by the exact oracles of
+    label_dyadic / cell_encode."""
+    from .flagship import labeled_output
+
+    return labeled_output(sf_dir)
+
+
 def q_cell_encode(sf_dir: str):
     """H3/S2-style cell encoding of label points (stateful actor pool)."""
     from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
@@ -1115,6 +1125,7 @@ def build_queries() -> dict:
         "label_summary": q_label_summary,
         "span_integrity": q_span_integrity,
         "cell_encode": q_cell_encode,
+        "labeled_output": q_labeled_output,
         "zone_join": q_zone_join,
         "zone_join_copartitioned": q_zone_join_copartitioned,
         "events_windowed": q_events_windowed,

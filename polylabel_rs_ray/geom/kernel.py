@@ -66,11 +66,16 @@ def normalize_ring(ring: np.ndarray) -> np.ndarray:
     return ring
 
 
+def _cyc(v: np.ndarray) -> np.ndarray:
+    """v shifted by -1 cyclically (same values as np.roll(v, -1), cheaper)."""
+    return np.concatenate([v[1:], v[:1]])
+
+
 def ring_signed_area2(ring: np.ndarray) -> float:
     """Twice the shoelace signed area of a ring (open, cyclic)."""
     x = ring[:, 0]
     y = ring[:, 1]
-    return float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    return float(np.sum(x * _cyc(y) - _cyc(x) * y))
 
 
 def polygon_signed_area(rings: list[np.ndarray]) -> float:
@@ -93,8 +98,8 @@ def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float] | None:
             continue
         x = ring[:, 0]
         y = ring[:, 1]
-        x1 = np.roll(x, -1)
-        y1 = np.roll(y, -1)
+        x1 = _cyc(x)
+        y1 = _cyc(y)
         cross = x * y1 - x1 * y
         a2 = float(np.sum(cross))  # 2 * signed area
         if a2 == 0.0:
@@ -144,8 +149,8 @@ def prepare_edges(polys: list[list[np.ndarray]]) -> PreparedBatch:
             y = ring[:, 1]
             axs.append(x)
             ays.append(y)
-            bxs.append(np.roll(x, -1))
-            bys.append(np.roll(y, -1))
+            bxs.append(_cyc(x))
+            bys.append(_cyc(y))
             n += len(ring)
         ecnt[p] = n
         off += n
@@ -260,8 +265,8 @@ class PreparedLarge:
             pad = (-n) % BLOCK_SIZE
             a_x = np.concatenate([x, np.full(pad, np.inf)])
             a_y = np.concatenate([y, np.full(pad, np.inf)])
-            b_x = np.concatenate([np.roll(x, -1), np.full(pad, np.inf)])
-            b_y = np.concatenate([np.roll(y, -1), np.full(pad, np.inf)])
+            b_x = np.concatenate([_cyc(x), np.full(pad, np.inf)])
+            b_y = np.concatenate([_cyc(y), np.full(pad, np.inf)])
             axs.append(a_x)
             ays.append(a_y)
             bxs.append(b_x)

@@ -295,8 +295,12 @@ def q_events_windowed(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
+        # epoch-microsecond ints, not timestamps: pandas timestamp units
+        # (ns vs us) differ between Arrow and DuckDB paths and would trip a
+        # schema comparison
+        win = pc.floor_temporal(batch.column("ts"), unit="hour")
         return pa.table({
-            "window_start": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "window_start_us": pc.cast(win, pa.int64()),
             "event_type": batch.column("event_type"),
             "value_cents": pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()),
         })
@@ -305,13 +309,14 @@ def q_events_windowed(sf_dir: str):
 
     return grouped_aggregate(
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
-        ["window_start", "event_type"],
+        ["window_start_us", "event_type"],
         [("count", None, "n_events"), ("sum", "value_cents", "sum_value_cents")],
     )
 
 
 SQL_EVENTS_WINDOWED = """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+           event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
@@ -644,8 +649,8 @@ def q_sessionize(sf_dir: str):
             "user_id": pa.array(np.full(len(starts), uid), type=pa.int64()),
             "session_idx": pa.array(np.arange(1, len(starts) + 1), type=pa.int64()),
             "n_events": pa.array(ends - starts, type=pa.int64()),
-            "session_start": pa.array(ts[starts].astype("datetime64[us]")),
-            "session_end": pa.array(ts[ends - 1].astype("datetime64[us]")),
+            "session_start_us": pa.array(ts[starts], type=pa.int64()),
+            "session_end_us": pa.array(ts[ends - 1], type=pa.int64()),
         })
 
     from ..stages.util import coalesce_for_shuffle
@@ -671,7 +676,8 @@ SQL_SESSIONIZE = """
     )
     SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
     FROM numbered GROUP BY user_id, session_idx
 """
 

@@ -144,6 +144,22 @@ class IvfScorer:
         })
 
 
+def kmeans_refine(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """A few deterministic Lloyd iterations (cosine/spherical) on a sample —
+    the centroid-training step of a real IVF index, done driver-side on a
+    small sample; the big table only ever sees the broadcast centroids."""
+    u = _unit(sample)
+    c = u[:n_centroids].copy()
+    for _ in range(iters):
+        c = _unit(c)
+        assign = np.argmax(u @ c.T, axis=1)
+        for j in range(n_centroids):
+            members = u[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return _unit(c)
+
+
 def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
                       n_centroids: int = 16, nprobe: int = 4):
     import pyarrow.parquet as pq
@@ -151,9 +167,9 @@ def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
 
     head = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, max(n_centroids, n_queries))
+    ).slice(0, max(256, n_queries))
     m = embedding_matrix(head)
-    centroids = m[:n_centroids]
+    centroids = kmeans_refine(m, n_centroids)
     qm = m[:n_queries]
     qids = head.column("vec_id").to_numpy().astype(np.int64)[:n_queries]
 

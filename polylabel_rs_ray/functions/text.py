@@ -66,7 +66,10 @@ def quality_batch(texts: pa.Array | pa.ChunkedArray) -> pa.Table:
     nc = np.maximum(np.asarray(n_chars, dtype=np.float64), 1.0)
     stop_ratio = np.asarray(stop_hits, dtype=np.float64) / nt
     punct_ratio = np.asarray(punct, dtype=np.float64) / nc
-    mean_word_len = nc / nt
+    # numerator is RAW n_chars (only the denominator is clamped) so an
+    # empty text yields 0.0, matching the SQL oracle's
+    # length(text)/GREATEST(n_tokens,1) exactly
+    mean_word_len = np.asarray(n_chars, dtype=np.float64) / nt
     return pa.table({
         "n_chars": pc.cast(n_chars, pa.int64()),
         "n_tokens": pc.cast(n_tokens, pa.int64()),

@@ -612,14 +612,22 @@ def polylabel_batch(
             cen = bbc  # degenerate centroid: fall back to bbox centre guess
         seeds.append((i, cen[0], cen[1], -2.0))  # marker: centroid guess
         seeds.append((i, bbc[0], bbc[1], -1.0))  # marker: bbox guess
-        nx = int(np.ceil(w / cell_size))
-        ny = int(np.ceil(hgt / cell_size))
-        if nx * ny > MAX_SEED_CELLS:
+        # ratio can overflow float64 to inf for denormal-width slivers
+        # (e.g. w ~ 1e-308): guard in FLOAT space before any int() cast,
+        # otherwise int(np.ceil(inf)) raises OverflowError and kills the task
+        rx = w / cell_size
+        ry = hgt / cell_size
+        if (
+            not (np.isfinite(rx) and np.isfinite(ry))
+            or np.ceil(rx) * np.ceil(ry) > MAX_SEED_CELLS
+        ):
             # the centroid/bbox guess seeds are already queued above, so the
             # row still carries a usable (if coarse) label plus the error
             st.done = True
             st.err = ERR_SEED_OVERFLOW
             continue
+        nx = int(np.ceil(rx))
+        ny = int(np.ceil(ry))
         # reference iterates x outer, y inner (lib.rs:274-281)
         for gx in range(nx):
             for gy in range(ny):
@@ -632,8 +640,8 @@ def polylabel_batch(
         small_prep = prepare_edges(small_polys)
         small_slot = {pid: k for k, pid in enumerate(small_ids)}
         large_group = LargeGroup(large_preps) if large_preps else None
-        _score_mixed(seeds, states, small_prep, small_slot, large_group)
-        for i, cx, cy, h, d in _drain_scored(seeds):
+        scored = _score_mixed(seeds, states, small_prep, small_slot, large_group)
+        for i, cx, cy, h, d in _drain_scored(seeds, scored):
             st = states[i]
             if h == -2.0:
                 st._cen = (cx, cy, d)  # type: ignore[attr-defined]
@@ -664,8 +672,8 @@ def polylabel_batch(
                     requests.append((i, cx + h2, cy + h2, h2))
             if not requests:
                 break
-            _score_mixed(requests, states, small_prep, small_slot, large_group)
-            for i, cx, cy, h, d in _drain_scored(requests):
+            scored = _score_mixed(requests, states, small_prep, small_slot, large_group)
+            for i, cx, cy, h, d in _drain_scored(requests, scored):
                 states[i].push(cx, cy, h, d)
             live = [i for i in live if not states[i].done]
 
@@ -680,19 +688,17 @@ def polylabel_batch(
     return out_x, out_y, out_d, out_a, out_e
 
 
-_SCORED: list[np.ndarray] = []
-
-
 def _score_mixed(
     cells: list[tuple[int, float, float, float]],
     states: dict[int, _PolyState],
     small_prep: PreparedBatch,
     small_slot: dict[int, int],
     large_group: "LargeGroup | None" = None,
-) -> None:
+) -> np.ndarray:
     """Score (poly, cx, cy, h) cells: small polygons in one flat call,
     large polygons in one flat block-skip call over the whole batch.
-    Stores the distance array for `_drain_scored`."""
+    Returns the per-cell distance array (passed to `_drain_scored` — kept
+    explicit so concurrent batch calls in one process can't cross-wire)."""
     d_out = np.empty(len(cells))
     sm_idx: list[int] = []
     lg_idx: list[int] = []
@@ -713,12 +719,10 @@ def _score_mixed(
         px = np.array([cells[k][1] for k in lg_idx])
         py = np.array([cells[k][2] for k in lg_idx])
         d_out[lg_idx] = large_group.score(px, py, np.asarray(lg_slots, dtype=np.int64))
-    _SCORED.clear()
-    _SCORED.append(d_out)
+    return d_out
 
 
-def _drain_scored(cells: list[tuple[int, float, float, float]]):
-    d = _SCORED[0]
+def _drain_scored(cells: list[tuple[int, float, float, float]], d: np.ndarray):
     for k, (pid, cx, cy, h) in enumerate(cells):
         yield pid, cx, cy, h, float(d[k])
 

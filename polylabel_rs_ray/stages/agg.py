@@ -53,8 +53,10 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
             raise ValueError(kind)
 
     def combine(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.select(keys)
+        # NOTE: no empty-batch early-out — pyarrow group_by on a 0-row table
+        # yields a 0-row table with the FULL partial schema, so every block
+        # this stage emits has identical schema (a keys-only block would
+        # break the downstream groupby when a filter empties a block)
         gb = batch.group_by(keys)
         agg_spec = [(col, func) for func, col, _ in partial_aggs]
         out = gb.aggregate(agg_spec)

@@ -90,3 +90,12 @@ def test_thin_sliver_polygon_seed_guard():
     x, y, d, a, e = polylabel_one(rings, 1e-10)
     assert e == "seed_grid_overflow"
     assert 0 <= x <= 100 and 0 <= y <= 1e-9  # guess still inside the bbox
+
+def test_denormal_sliver_no_overflow():
+    # regression (round-1 hypothesis falsifier): bbox width ~1.1e-308 makes
+    # hgt/cell_size overflow float64 to inf; int(np.ceil(inf)) used to raise
+    # OverflowError before the MAX_SEED_CELLS guard could fire
+    rings = [np.array([(0.0, 0.0), (0.0, 2.0), (1.1125369292536007e-308, 0.0)])]
+    x, y, d, a, e = polylabel_one(rings, 1.0)
+    assert e == "seed_grid_overflow"
+    assert np.isfinite(x) and np.isfinite(y)

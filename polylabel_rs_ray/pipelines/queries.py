@@ -46,17 +46,47 @@ def _ray():
 _LABELED_CACHE: dict[str, object] = {}
 
 
+def _labeled_checkpoint_dir(sf_dir: str) -> str:
+    """Deterministic checkpoint path keyed by source identity (path + mtime +
+    size of documents.parquet) — the lineage fingerprint that invalidates the
+    checkpoint if the input changes."""
+    import os
+    import tempfile
+    from hashlib import sha256
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        stamp = f"{sf_dir}|{os.path.getmtime(src)}|{os.path.getsize(src)}"
+    except OSError:
+        stamp = sf_dir
+    fp = sha256(stamp.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "polylabel_ckpt", fp, "labeled")
+
+
 def labeled_docs(sf_dir: str):
     """Interleaved docs (synthesized from the documents table's doc_id) with
     label columns appended — the first half of the flagship pipeline.
 
-    The labeled dataset is materialized once per sf_dir per session (it is
-    small — one row per documents-table row) and shared by every downstream
-    query, so the driver's sequential correctness sweep doesn't re-run the
-    kernel per query."""
+    Shared by every downstream query via a PARTITIONED PARQUET CHECKPOINT
+    (written once per source fingerprint, then streamed back with
+    read_parquet) rather than an object-store ``materialize()`` — at scale
+    the checkpoint spills to disk/storage instead of pinning the whole
+    labeled dataset in cluster memory, and a later run reuses it for free."""
     ds = _LABELED_CACHE.get(sf_dir)
     if ds is None:
-        ds = label_points(docs_mod.read_docs(sf_dir)).materialize()
+        import os
+        import shutil
+
+        ckpt = _labeled_checkpoint_dir(sf_dir)
+        if not os.path.isdir(ckpt):
+            tmp = f"{ckpt}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            label_points(docs_mod.read_docs(sf_dir)).write_parquet(tmp)
+            try:
+                os.rename(tmp, ckpt)  # atomic publish; loser of a race cleans up
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        ds = _ray().data.read_parquet(ckpt)
         _LABELED_CACHE[sf_dir] = ds
     return ds
 
@@ -488,20 +518,24 @@ def q_customers_per_nation(sf_dir: str):
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    lut = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    lut_ref = ray.put(lut)
 
     class AttachNation:
-        def __init__(self, ref):
-            self.lut = ray.get(ref) if hasattr(ref, "hex") else ref
+        """Broadcast LUT join, vectorized: searchsorted over the sorted key
+        column + a single pc.take gather (no per-row Python)."""
+
+        def __init__(self, tbl: pa.Table):
+            keys = tbl.column("n_nationkey").to_numpy().astype(np.int64)
+            order = np.argsort(keys)
+            self.keys_sorted = keys[order]
+            self.names_sorted = tbl.column("n_name").combine_chunks().take(pa.array(order))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch.column("c_nationkey").to_numpy()
-            names = [self.lut[int(k)] for k in keys]
-            return pa.table({"n_name": pa.array(names, type=pa.string())})
+            idx = np.searchsorted(self.keys_sorted, keys)
+            return pa.table({"n_name": self.names_sorted.take(pa.array(idx))})
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    fn = AttachNation(lut)
+    fn = AttachNation(nation)
     from ..stages.agg import grouped_aggregate
 
     return grouped_aggregate(
@@ -683,21 +717,48 @@ SQL_SESSIONIZE = """
 
 
 def q_orders_without_lineitems(sf_dir: str):
-    """Anti join: orders with no lineitem rows (broadcast key-set filter)."""
+    """Distributed anti join: orders with no lineitem rows.
+
+    Both key columns flow through ONE co-partitioned aggregate — each side
+    tagged with a presence flag, map-side combined per batch (unique keys +
+    max flag), then a key groupby reduces to (has_order, has_line) per key.
+    No driver-side key materialization; shuffle volume is O(distinct keys ×
+    blocks) after the partial combine, not O(lineitem rows)."""
     ray = _ray()
-    import pyarrow.parquet as pq
 
-    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    key_set = np.unique(keys.column("l_orderkey").to_numpy())
+    def tag(flag_order: int, flag_line: int, key_col: str):
+        def stage(batch: pa.Table) -> pa.Table:
+            keys = pc.unique(batch.column(key_col))
+            n = len(keys)
+            return pa.table({
+                "o_orderkey": pc.cast(keys, pa.int64()),
+                "is_order": pa.array(np.full(n, flag_order, dtype=np.int64)),
+                "is_line": pa.array(np.full(n, flag_line, dtype=np.int64)),
+            })
+        return stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(tag(1, 0, "o_orderkey"), batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    ).map_batches(tag(0, 1, "l_orderkey"), batch_format="pyarrow", zero_copy_batch=True)
+
+    from ..stages.agg import grouped_aggregate
+
+    flags = grouped_aggregate(
+        orders.union(lines),
+        ["o_orderkey"],
+        [("max", "is_order", "has_order"), ("max", "is_line", "has_line")],
+    )
 
     def anti(batch: pa.Table) -> pa.Table:
-        ok = batch.column("o_orderkey").to_numpy()
-        mask = ~np.isin(ok, key_set)
-        return batch.filter(pa.array(mask))
+        mask = pc.and_(
+            pc.equal(batch.column("has_order"), 1), pc.equal(batch.column("has_line"), 0)
+        )
+        return batch.filter(mask).select(["o_orderkey"])
 
-    return ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return flags.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_ORDERS_WITHOUT_LINEITEMS = """
@@ -867,123 +928,193 @@ def _minhasher():
     return _MINHASHER
 
 
-def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5):
-    """MinHash+LSH near-dup: signature (actor pool) -> band explode ->
-    groupby(band bucket) candidate pairs -> exact-Jaccard verify against the
-    broadcast corpus.  Rows-only (pytest pins planted-pair recall)."""
-    from ..functions.dedup import LSH_BANDS, MinHasher, band_hashes, jaccard, shingles
+GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_part(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic hash partitioner for int64 ids — the shared partitioner
+    every stage that must co-locate rows by doc_id agrees on."""
+    u = np.asarray(ids).astype(np.uint64)
+    return ((u * GOLD64) >> np.uint64(33)).astype(np.int64) % n_parts
+
+
+def _bucket_candidate_pairs(group: pa.Table) -> pa.Table:
+    """Vectorized bucket-collision pairs over ONE bucket-hash partition of
+    the band table (sorted sweep; per-partition dedup by (a,b) key)."""
+    empty = pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64()),
+    })
+    if group.num_rows == 0:
+        return empty
+    b = group.column("bucket").to_numpy()
+    d = group.column("doc_id").to_numpy()
+    order = np.lexsort((d, b))
+    b = b[order]
+    d = d[order]
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], len(b)]
+    da, db = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        mem = np.unique(d[s:e])
+        if len(mem) < 2:
+            continue
+        iu, ju = np.triu_indices(len(mem), k=1)
+        da.append(mem[iu])
+        db.append(mem[ju])
+    if not da:
+        return empty
+    A = np.concatenate(da)
+    B = np.concatenate(db)
+    key = A * np.int64(1 << 31) + B  # doc ids < 2^21 here; no overflow
+    _, idx = np.unique(key, return_index=True)
+    return pa.table({
+        "doc_a": pa.array(A[idx], type=pa.int64()),
+        "doc_b": pa.array(B[idx], type=pa.int64()),
+    })
+
+
+def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None = None):
+    """MinHash+LSH near-dup, fully distributed — no stage ever holds the
+    whole band table or the whole corpus:
+
+      signature -> band explode                        (stateless map_batches)
+      -> groupby(bucket-hash partition) pair sweep     (shuffle 1: bands)
+      -> union(pairs keyed h(doc_b), docs keyed h(doc_id)) -> attach text_b
+                                                       (shuffle 2: join pass B)
+      -> union(attached keyed h(doc_a), docs)          (shuffle 3: join pass A)
+         -> exact-Jaccard verify inside the group
+
+    Partitioning assumption: candidate pairs and document texts share the
+    `_hash_part(doc_id)` partitioner, so each verify group holds 1/P of the
+    corpus plus exactly the pairs that need those texts.  Global pair dedup
+    falls out of pass B: every copy of a pair (any bucket, any candidate
+    partition) has the same doc_b, so all copies land in one group.
+    Rows-only oracle (pytest pins planted-pair recall and the partitioned
+    path's equality with the single-partition path)."""
+    from ..functions.dedup import LSH_BANDS, band_hashes, jaccard, shingles
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
     ds = _corpus_with_planted_dups(sf_dir)
 
     def sign_band(batch: pa.Table) -> pa.Table:
         # stateless tasks (scale with CPUs); the MinHasher is deterministic
         # and cached per worker process
         mh = _minhasher()
-        ids = batch.column("doc_id").to_numpy()
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
         texts = batch.column("text").to_pylist()
-        out_doc, out_bucket = [], []
-        for i, t in zip(ids, texts):
-            bh = band_hashes(mh.signature(t or ""))
-            out_doc.extend([int(i)] * LSH_BANDS)
-            out_bucket.extend(bh.tolist())
+        out_bucket = np.empty(len(ids) * LSH_BANDS, dtype=np.int64)
+        for k, t in enumerate(texts):
+            out_bucket[k * LSH_BANDS : (k + 1) * LSH_BANDS] = band_hashes(
+                mh.signature(t or "")
+            )
         return pa.table({
-            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, LSH_BANDS), type=pa.int64()),
             "bucket": pa.array(out_bucket, type=pa.int64()),
+            "part": pa.array(out_bucket % P, type=pa.int64()),
         })
 
     banded = ds.map_batches(sign_band, batch_format="pyarrow", zero_copy_batch=True)
-
-    # broadcast corpus for verification (small side here; co-partitioned
-    # shingle join at scale — see functions/dedup.py docstring).  Built once
-    # from the source parquet with the same deterministic planting — no
-    # second pipeline run, no driver-side row iteration.
-    import pyarrow.parquet as pq
-
-    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    corpus: dict[int, str] = {}
-    for i, t in zip(base.column("doc_id").to_pylist(), base.column("text").to_pylist()):
-        corpus[int(i)] = t
-        if int(i) % DUP_EVERY == 0:
-            corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
-    corpus_ref = ray.put(corpus)
-
-    # Candidate generation: almost every LSH bucket is a singleton and
-    # per-group UDF invocations dominate (measured 17k hot buckets at
-    # sf0.1), so bucket-collision pairs are generated VECTORIZED in one task
-    # over the sorted band table (it is tiny: 16 bytes/row).  At 10^12-doc
-    # scale this single task becomes a hash-partitioned map over bucket
-    # ranges — same code per partition.
-    def candidate_pairs(batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-        })
-        if batch.num_rows == 0:
-            return empty
-        b = batch.column("bucket").to_numpy()
-        d = batch.column("doc_id").to_numpy()
-        order = np.lexsort((d, b))
-        b = b[order]
-        d = d[order]
-        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
-        ends = np.r_[starts[1:], len(b)]
-        da, db = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            mem = np.unique(d[s:e])
-            if len(mem) < 2:
-                continue
-            iu, ju = np.triu_indices(len(mem), k=1)
-            da.append(mem[iu])
-            db.append(mem[ju])
-        if not da:
-            return empty
-        A = np.concatenate(da)
-        B = np.concatenate(db)
-        key = A * np.int64(1 << 31) + B  # doc ids < 2^21 here; no overflow
-        _, idx = np.unique(key, return_index=True)
-        return pa.table({
-            "doc_a": pa.array(A[idx], type=pa.int64()),
-            "doc_b": pa.array(B[idx], type=pa.int64()),
-        })
-
-    cands = banded.repartition(1).map_batches(
-        candidate_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    cands = (
+        coalesce_for_shuffle(banded)
+        .groupby("part")
+        .map_groups(_bucket_candidate_pairs, batch_format="pyarrow")
     )
 
-    # Verification: exact word-3-gram Jaccard per candidate pair, parallel
-    # stateless tasks over pair batches; the corpus is fetched from the
-    # shared object store per task and shingle sets cached per doc.
-    def verify_pairs(batch: pa.Table) -> pa.Table:
-        texts = ray.get(corpus_ref)
-        cache: dict[int, np.ndarray] = {}
+    # --- distributed verify: two co-partitioned join passes -----------------
+    def docs_keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        n = len(ids)
+        return pa.table({
+            "part": pa.array(_hash_part(ids, P), type=pa.int64()),
+            "doc_a": pa.array(ids, type=pa.int64()),
+            "doc_b": pa.nulls(n, pa.int64()),
+            "text": batch.column("text"),
+        })
 
-        def sh(i: int) -> np.ndarray:
-            v = cache.get(i)
-            if v is None:
-                v = shingles(texts.get(i, ""))
-                cache[i] = v
-            return v
+    def pairs_keyed_by_b(batch: pa.Table) -> pa.Table:
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_hash_part(b, P), type=pa.int64()),
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "text": pa.nulls(len(b), pa.string()),
+        })
 
-        A = batch.column("doc_a").to_numpy()
-        B = batch.column("doc_b").to_numpy()
+    def attach_text_b(group: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(group.column("doc_b"))
+        pairs = group.filter(is_pair)
+        docs = group.filter(pc.invert(is_pair))
+        out_schema = {
+            "part": pa.array([], type=pa.int64()),
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+        if pairs.num_rows == 0:
+            return pa.table(out_schema)
+        lut = dict(zip(docs.column("doc_a").to_pylist(), docs.column("text").to_pylist()))
+        A = pairs.column("doc_a").to_numpy().astype(np.int64)
+        B = pairs.column("doc_b").to_numpy().astype(np.int64)
+        # GLOBAL pair dedup: all copies of (a,b) share doc_b => same group
+        key = A * np.int64(1 << 31) + B
+        _, idx = np.unique(key, return_index=True)
+        A, B = A[idx], B[idx]
+        return pa.table({
+            "part": pa.array(_hash_part(A, P), type=pa.int64()),
+            "doc_a": pa.array(A, type=pa.int64()),
+            "doc_b": pa.array(B, type=pa.int64()),
+            "text": pa.array([lut.get(int(b)) for b in B], type=pa.string()),
+        })
+
+    with_b = (
+        coalesce_for_shuffle(ds.map_batches(docs_keyed, batch_format="pyarrow",
+                                            zero_copy_batch=True).union(
+            cands.map_batches(pairs_keyed_by_b, batch_format="pyarrow",
+                              zero_copy_batch=True)))
+        .groupby("part")
+        .map_groups(attach_text_b, batch_format="pyarrow")
+    )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        is_pair = pc.is_valid(group.column("doc_b"))
+        pairs = group.filter(is_pair)
+        docs = group.filter(pc.invert(is_pair))
         da, db, jj = [], [], []
-        for a_id, b_id in zip(A, B):
-            j = jaccard(sh(int(a_id)), sh(int(b_id)))
-            if j >= threshold:
-                da.append(int(a_id))
-                db.append(int(b_id))
-                jj.append(int(round(j * 100)))
+        if pairs.num_rows:
+            lut = dict(zip(docs.column("doc_a").to_pylist(), docs.column("text").to_pylist()))
+            cache: dict[int, np.ndarray] = {}
+            A = pairs.column("doc_a").to_pylist()
+            B = pairs.column("doc_b").to_pylist()
+            TB = pairs.column("text").to_pylist()
+            for a_id, b_id, tb in zip(A, B, TB):
+                ta = lut.get(int(a_id))
+                if ta is None or tb is None:
+                    continue
+                sa = cache.get(int(a_id))
+                if sa is None:
+                    sa = shingles(ta)
+                    cache[int(a_id)] = sa
+                j = jaccard(sa, shingles(tb))
+                if j >= threshold:
+                    da.append(int(a_id))
+                    db.append(int(b_id))
+                    jj.append(int(round(j * 100)))
         return pa.table({
             "doc_a": pa.array(da, type=pa.int64()),
             "doc_b": pa.array(db, type=pa.int64()),
             "jaccard_pct": pa.array(jj, type=pa.int64()),
         })
 
-    return cands.map_batches(
-        verify_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+    return (
+        with_b.union(ds.map_batches(docs_keyed, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(verify_group, batch_format="pyarrow")
     )
 
 

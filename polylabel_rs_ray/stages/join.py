@@ -77,7 +77,17 @@ class ZoneJoin:
         for j in range(N_ZONES):
             for cid in cover_bbox(z["x0"][j], z["y0"][j], z["x1"][j], z["y1"][j], cell_res):
                 index.setdefault(int(cid), []).append(j)
-        self.index = index
+        # CSR layout (cell_id -> zone-id span) so per-batch candidate
+        # expansion is pure searchsorted + repeat/gather, no Python loop
+        cells_sorted = np.array(sorted(index), dtype=np.int64)
+        counts = np.array([len(index[c]) for c in cells_sorted], dtype=np.int64)
+        self.csr_cells = cells_sorted
+        self.csr_off = np.concatenate([[0], np.cumsum(counts)])
+        self.csr_zones = (
+            np.concatenate([np.asarray(index[c], dtype=np.int64) for c in cells_sorted])
+            if len(cells_sorted)
+            else np.empty(0, dtype=np.int64)
+        )
         # rings for the exact parity test (general-polygon path; rectangles
         # here, but the kernel is the same one used for any zone geometry)
         from ..geom.kernel import prepare_edges
@@ -92,21 +102,21 @@ class ZoneJoin:
         ix, iy = grid_coords(px, py, self.cell_res)
         cid = encode_cells(ix, iy, self.cell_res)
 
-        rows: list[int] = []
-        zones: list[int] = []
-        for r in range(len(px)):
-            cands = self.index.get(int(cid[r]))
-            if not cands:
-                continue
-            for j in cands:
-                rows.append(r)
-                zones.append(j)
-        if not rows:
+        # CSR candidate expansion: one searchsorted + repeat/gather
+        ncells = len(self.csr_cells)
+        pos = np.searchsorted(self.csr_cells, cid)
+        pos_c = np.minimum(pos, max(ncells - 1, 0))
+        found = (self.csr_cells[pos_c] == cid) if ncells else np.zeros(len(cid), bool)
+        cnt = np.where(found, self.csr_off[pos_c + 1] - self.csr_off[pos_c], 0)
+        total = int(cnt.sum())
+        if total == 0:
             out = batch.select(self.keep_cols).slice(0, 0)
             return out.append_column("zone_id", pa.array([], type=pa.int64()))
 
-        rows_a = np.asarray(rows, dtype=np.int64)
-        zones_a = np.asarray(zones, dtype=np.int64)
+        rows_a = np.repeat(np.arange(len(px), dtype=np.int64), cnt)
+        base = np.repeat(self.csr_off[pos_c], cnt)
+        csum = np.cumsum(cnt)
+        zones_a = self.csr_zones[base + np.arange(total) - np.repeat(csum - cnt, cnt)]
         d = score_points_flat(px[rows_a], py[rows_a], zones_a, self.prep)
         hit = d > 0  # strictly inside (no boundary cases by construction)
         rows_a = rows_a[hit]

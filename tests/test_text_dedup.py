@@ -147,3 +147,14 @@ def test_media_pipeline(ray_session):
     assert a == b
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(decode="real")._featurize("media://1/0")
+
+def test_minhash_partitioned_equals_single_task(ray_session):
+    """The bucket-hash-partitioned candidate/verify path must produce the
+    exact pair set of the 1-partition path (global dedup via pass-B key)."""
+    from polylabel_rs_ray.pipelines.queries import q_minhash_near_dup
+
+    df1 = q_minhash_near_dup(SF, n_parts=1).to_pandas()
+    df8 = q_minhash_near_dup(SF, n_parts=8).to_pandas()
+    s1 = set(zip(df1.doc_a, df1.doc_b, df1.jaccard_pct))
+    s8 = set(zip(df8.doc_a, df8.doc_b, df8.jaccard_pct))
+    assert s1 == s8 and len(s1) > 0

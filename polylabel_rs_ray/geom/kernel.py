@@ -43,6 +43,7 @@ from dataclasses import dataclass
 import numpy as np
 
 BLOCK_SIZE = 32  # edges per skip-block, as in the reference (lib.rs:90)
+SUPER = 8  # blocks per superblock (engine-only 2-level prune; result-neutral)
 LARGE_EDGE_THRESHOLD = 384  # >= this many edges -> block-skip scoring path
 MAX_POPS = 200_000  # safety valve (reference has none; guards tiny tolerances)
 
@@ -259,14 +260,18 @@ class PreparedLarge:
                 continue
             x = ring[:, 0]
             y = ring[:, 1]
-            # pad each ring's edge list to a BLOCK_SIZE multiple with
-            # degenerate far-away edges so blocks never span rings
+            # pad each ring's edge list to a BLOCK_SIZE multiple (blocks never
+            # span rings) with DEGENERATE VERTEX edges anchored at the ring's
+            # last vertex: d2 == 0 so their distance is the distance to that
+            # vertex, which can never beat the real edge (same block) the
+            # vertex belongs to, and ay == by so they can never flip parity —
+            # inert by construction, with no pad mask, no infs, no NaNs
             n = len(ring)
             pad = (-n) % BLOCK_SIZE
-            a_x = np.concatenate([x, np.full(pad, np.inf)])
-            a_y = np.concatenate([y, np.full(pad, np.inf)])
-            b_x = np.concatenate([_cyc(x), np.full(pad, np.inf)])
-            b_y = np.concatenate([_cyc(y), np.full(pad, np.inf)])
+            a_x = np.concatenate([x, np.full(pad, x[-1])])
+            a_y = np.concatenate([y, np.full(pad, y[-1])])
+            b_x = np.concatenate([_cyc(x), np.full(pad, x[-1])])
+            b_y = np.concatenate([_cyc(y), np.full(pad, y[-1])])
             axs.append(a_x)
             ays.append(a_y)
             bxs.append(b_x)
@@ -275,100 +280,22 @@ class PreparedLarge:
         self.ay = np.concatenate(ays)
         self.bx = np.concatenate(bxs)
         self.by = np.concatenate(bys)
-        with np.errstate(invalid="ignore"):
-            self.dx = self.bx - self.ax
-            self.dy = self.by - self.ay
-            self.d2 = self.dx * self.dx + self.dy * self.dy
-        # inf - inf = nan on padding edges; make them inert
-        bad = ~np.isfinite(self.d2)
-        for arr in (self.dx, self.dy):
-            arr[bad] = 0.0
-        self.d2[bad] = 0.0
-        self.pad_mask = bad
+        self.dx = self.bx - self.ax
+        self.dy = self.by - self.ay
+        self.d2 = self.dx * self.dx + self.dy * self.dy
 
         nb = len(self.ax) // BLOCK_SIZE
         eax = self.ax.reshape(nb, BLOCK_SIZE)
         eay = self.ay.reshape(nb, BLOCK_SIZE)
         ebx = self.bx.reshape(nb, BLOCK_SIZE)
         eby = self.by.reshape(nb, BLOCK_SIZE)
-        with np.errstate(invalid="ignore"):
-            fin = np.isfinite(eax)
-            big = np.where(fin, eax, -np.inf)
-            small = np.where(fin, eax, np.inf)
-            self.bxmin = np.minimum(small.min(axis=1), np.where(fin, ebx, np.inf).min(axis=1))
-            self.bxmax = np.maximum(big.max(axis=1), np.where(fin, ebx, -np.inf).max(axis=1))
-            sy = np.where(fin, eay, np.inf)
-            byf = np.where(fin, eby, np.inf)
-            self.bymin = np.minimum(sy.min(axis=1), byf.min(axis=1))
-            byg = np.where(fin, eby, -np.inf)
-            self.bymax = np.maximum(np.where(fin, eay, -np.inf).max(axis=1), byg.max(axis=1))
+        # pad vertices lie inside their block's real bbox, so plain min/max
+        # over endpoints is the tight bbox (no masking needed)
+        self.bxmin = np.minimum(eax.min(axis=1), ebx.min(axis=1))
+        self.bxmax = np.maximum(eax.max(axis=1), ebx.max(axis=1))
+        self.bymin = np.minimum(eay.min(axis=1), eby.min(axis=1))
+        self.bymax = np.maximum(eay.max(axis=1), eby.max(axis=1))
         self.nblocks = nb
-
-    def score(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        """Signed distances of C points against this polygon with block skip.
-
-        Evaluates (a) every block whose bbox could flip parity for any of the
-        points, plus (b) per point its nearest block, plus (c) every block
-        whose bbox lower bound beats the phase-(a/b) estimate.  The union
-        provably contains each point's argmin edge and all parity edges, so
-        the min/parity equal the dense evaluation bit-for-bit."""
-        C = len(px)
-        pxc = px[:, None]
-        pyc = py[:, None]
-        ddx = np.maximum(self.bxmin[None, :] - pxc, 0.0) + np.maximum(pxc - self.bxmax[None, :], 0.0)
-        ddy = np.maximum(self.bymin[None, :] - pyc, 0.0) + np.maximum(pyc - self.bymax[None, :], 0.0)
-        lb2 = ddx * ddx + ddy * ddy  # (C, B) lower bound on dist^2 to any edge in block
-        cross = ~((pyc < self.bymin[None, :]) | (pyc >= self.bymax[None, :]) | (pxc > self.bxmax[None, :]))
-
-        need1 = cross.any(axis=0).copy()
-        need1[lb2.argmin(axis=1)] = True  # nearest block per point
-        min2, nflips = self._eval_blocks(px, py, np.flatnonzero(need1), count_flips=True)
-
-        # phase 2: any block that could still improve some point's min
-        improve = (lb2 < min2[:, None]).any(axis=0) & ~need1
-        idx2 = np.flatnonzero(improve)
-        if len(idx2):
-            min2b, _ = self._eval_blocks(px, py, idx2, count_flips=False)
-            min2 = np.minimum(min2, min2b)
-
-        d = np.sqrt(min2)
-        return np.where((nflips & 1).astype(bool), d, -d)
-
-    def _eval_blocks(
-        self, px: np.ndarray, py: np.ndarray, block_idx: np.ndarray, count_flips: bool
-    ) -> tuple[np.ndarray, np.ndarray]:
-        edge_idx = (block_idx[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)[None, :]).ravel()
-        ax = self.ax[edge_idx]
-        ay = self.ay[edge_idx]
-        dx = self.dx[edge_idx]
-        dy = self.dy[edge_idx]
-        d2 = self.d2[edge_idx]
-        by = self.by[edge_idx]
-        pad = self.pad_mask[edge_idx]
-
-        pxp = px[:, None]
-        pyp = py[:, None]
-        wx = pxp - ax[None, :]
-        wy = pyp - ay[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t = (wx * dx + wy * dy) / d2
-            t = np.where(d2 > 0.0, t, 0.0)
-            np.clip(t, 0.0, 1.0, out=t)
-            ex = wx - t * dx
-            ey = wy - t * dy
-            dist2 = ex * ex + ey * ey
-        dist2 = np.where(pad[None, :] | ~np.isfinite(dist2), np.inf, dist2)
-        min2 = dist2.min(axis=1)
-
-        if count_flips:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cond_y = (ay[None, :] > pyp) != (by[None, :] > pyp)
-                xint = dx[None, :] * wy / dy[None, :] + ax[None, :]
-                flips = cond_y & (pxp < xint) & ~pad[None, :]
-            nflips = flips.sum(axis=1)
-        else:
-            nflips = np.zeros(len(px), dtype=np.int64)
-        return min2, nflips
 
 
 class LargeGroup:
@@ -383,13 +310,24 @@ class LargeGroup:
     the dense path (same argument as PreparedLarge.score)."""
 
     def __init__(self, preps: list[PreparedLarge]):
-        self.ax = np.concatenate([p.ax for p in preps])
-        self.ay = np.concatenate([p.ay for p in preps])
-        self.by = np.concatenate([p.by for p in preps])
-        self.dx = np.concatenate([p.dx for p in preps])
-        self.dy = np.concatenate([p.dy for p in preps])
-        self.d2 = np.concatenate([p.d2 for p in preps])
-        self.pad = np.concatenate([p.pad_mask for p in preps])
+        ax = np.concatenate([p.ax for p in preps])
+        ay = np.concatenate([p.ay for p in preps])
+        by = np.concatenate([p.by for p in preps])
+        dx = np.concatenate([p.dx for p in preps])
+        dy = np.concatenate([p.dy for p in preps])
+        d2 = np.concatenate([p.d2 for p in preps])
+        nb_total = len(ax) // BLOCK_SIZE
+        # (B, 32) row-major layout: one row gather per selected block is far
+        # cheaper than a flat fancy-index of n*32 element indices
+        self.ax2 = ax.reshape(nb_total, BLOCK_SIZE)
+        self.ay2 = ay.reshape(nb_total, BLOCK_SIZE)
+        self.by2 = by.reshape(nb_total, BLOCK_SIZE)
+        self.dx2 = dx.reshape(nb_total, BLOCK_SIZE)
+        self.dy2 = dy.reshape(nb_total, BLOCK_SIZE)
+        # d2 with 1.0 on zero-length (incl. pad) edges: t = dot/d2nz
+        # reproduces the where(d2>0, t, 0) semantics bit-for-bit (the dot
+        # product is exactly 0 there)
+        self.d2nz2 = np.where(d2 > 0.0, d2, 1.0).reshape(nb_total, BLOCK_SIZE)
         self.bxmin = np.concatenate([p.bxmin for p in preps])
         self.bxmax = np.concatenate([p.bxmax for p in preps])
         self.bymin = np.concatenate([p.bymin for p in preps])
@@ -398,89 +336,190 @@ class LargeGroup:
         self.block_off = np.zeros(len(preps), dtype=np.int64)
         np.cumsum(self.nb[:-1], out=self.block_off[1:])
 
-    def _eval_pairs(self, px, py, e_pt, blk, count_flips):
-        """Evaluate 32 edges for each (point e_pt[i], block blk[i]) pair ->
-        per-pair block min dist^2 (+ flip counts)."""
-        n = len(blk)
-        edge = (blk[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)[None, :]).ravel()
-        ax = self.ax[edge]
-        ay = self.ay[edge]
-        dx = self.dx[edge]
-        dy = self.dy[edge]
-        d2 = self.d2[edge]
-        by = self.by[edge]
-        pad = self.pad[edge]
-        pxp = np.repeat(px[e_pt], BLOCK_SIZE)
-        pyp = np.repeat(py[e_pt], BLOCK_SIZE)
+        # superblock level (SUPER blocks each, never spanning polygons): the
+        # per-round lower-bound sweep runs over ~nb/SUPER superblocks first
+        # and only expands the promising ones to blocks
+        npolys = len(preps)
+        self.nsb = (self.nb + SUPER - 1) // SUPER
+        self.sb_off = np.zeros(npolys, dtype=np.int64)
+        np.cumsum(self.nsb[:-1], out=self.sb_off[1:])
+        total_sb = int(self.nsb.sum())
+        sb_poly = np.repeat(np.arange(npolys), self.nsb)
+        sb_local = np.arange(total_sb, dtype=np.int64) - self.sb_off[sb_poly]
+        self.sb_start = self.block_off[sb_poly] + sb_local * SUPER  # global block id
+        self.sb_cnt = np.minimum(self.nb[sb_poly] - sb_local * SUPER, SUPER)
+        # consecutive sb_start values partition the global block range, so
+        # reduceat segments are exactly the superblocks
+        self.sbxmin = np.minimum.reduceat(self.bxmin, self.sb_start)
+        self.sbxmax = np.maximum.reduceat(self.bxmax, self.sb_start)
+        self.sbymin = np.minimum.reduceat(self.bymin, self.sb_start)
+        self.sbymax = np.maximum.reduceat(self.bymax, self.sb_start)
+        self._layout_cache: tuple | None = None
+
+    def _eval_dist(self, px, py, e_pt, blk):
+        """Per-pair block min dist^2 for (point e_pt[i], block blk[i]).  Pad
+        edges are degenerate real vertices (see PreparedLarge): no masking —
+        their distance never beats the block min."""
+        ax = self.ax2[blk]
+        ay = self.ay2[blk]
+        dx = self.dx2[blk]
+        dy = self.dy2[blk]
+        d2nz = self.d2nz2[blk]
+        pxp = px[e_pt][:, None]
+        pyp = py[e_pt][:, None]
         wx = pxp - ax
         wy = pyp - ay
+        t = (wx * dx + wy * dy) / d2nz
+        np.clip(t, 0.0, 1.0, out=t)
+        ex = wx - t * dx
+        ey = wy - t * dy
+        dist2 = ex * ex + ey * ey
+        return dist2.min(axis=1)
+
+    def _eval_flips(self, px, py, e_pt, blk):
+        """Per-pair ray-cast flip counts — called only for CROSSING blocks
+        (a non-crossing block contributes exactly 0 flips: its edges cannot
+        straddle the ray's y nor sit right of the point).  Pad edges have
+        ay == by, so they never flip."""
+        ax = self.ax2[blk]
+        ay = self.ay2[blk]
+        dx = self.dx2[blk]
+        dy = self.dy2[blk]
+        by = self.by2[blk]
+        pxp = px[e_pt][:, None]
+        pyp = py[e_pt][:, None]
         with np.errstate(divide="ignore", invalid="ignore"):
-            t = (wx * dx + wy * dy) / d2
-            t = np.where(d2 > 0.0, t, 0.0)
-            np.clip(t, 0.0, 1.0, out=t)
-            ex = wx - t * dx
-            ey = wy - t * dy
-            dist2 = ex * ex + ey * ey
-        dist2 = np.where(pad | ~np.isfinite(dist2), np.inf, dist2)
-        min2_pb = dist2.reshape(n, BLOCK_SIZE).min(axis=1)
-        if count_flips:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cond_y = (ay > pyp) != (by > pyp)
-                xint = dx * wy / dy + ax
-                flips = cond_y & (pxp < xint) & ~pad
-            nf_pb = flips.reshape(n, BLOCK_SIZE).sum(axis=1)
-        else:
-            nf_pb = None
-        return min2_pb, nf_pb
+            cond_y = (ay > pyp) != (by > pyp)
+            xint = dx * (pyp - ay) / dy + ax
+            flips = cond_y & (pxp < xint)
+        return flips.sum(axis=1)
+
+    @staticmethod
+    def _face_ub2(px, py, xmin, xmax, ymin, ymax):
+        """Upper bound on dist^2 from each point to the nearest edge inside
+        its bbox: bboxes are tight over edge endpoints, so some edge point
+        sits on each face; the cheapest face-strip worst case bounds it."""
+        fdx2 = np.maximum((px - xmin) ** 2, (px - xmax) ** 2)
+        fdy2 = np.maximum((py - ymin) ** 2, (py - ymax) ** 2)
+        return np.minimum(
+            np.minimum((px - xmin) ** 2, (px - xmax) ** 2) + fdy2,
+            np.minimum((py - ymin) ** 2, (py - ymax) ** 2) + fdx2,
+        )
 
     def score(self, px: np.ndarray, py: np.ndarray, slot: np.ndarray) -> np.ndarray:
+        """Two-level block-skip sweep.  Level 1 scans superblock bboxes and
+        keeps {crossing} ∪ {lb2 <= seed-superblock upper bound}; level 2
+        expands survivors to blocks, re-filters with the tighter seed-BLOCK
+        upper bound, then evaluates distance on the survivors and parity on
+        the crossing blocks only.  Every kept set is a superset of the argmin
+        edge's block and of all parity blocks, so min/parity are
+        bit-identical to the dense evaluation."""
         K = len(px)
-        nb_k = self.nb[slot]
-        total = int(nb_k.sum())
-        seg = np.zeros(K, dtype=np.int64)
-        np.cumsum(nb_k[:-1], out=seg[1:])
-        pair_pt = np.repeat(np.arange(K), nb_k)
-        pair_blk = np.arange(total, dtype=np.int64) - seg[pair_pt] + self.block_off[slot][pair_pt]
+        # the (point -> superblock) pair layout and gathered bbox arrays
+        # depend only on the slot vector, which repeats across lockstep
+        # rounds while the same polygons stay live — memoize
+        key = slot.tobytes()
+        cached = self._layout_cache
+        if cached is not None and cached[0] == key:
+            (seg, pair_pt, pair_sb, idx_in_seg,
+             sxmin, sxmax, symin, symax) = cached[1]
+        else:
+            nsb_k = self.nsb[slot]
+            total = int(nsb_k.sum())
+            seg = np.zeros(K, dtype=np.int64)
+            np.cumsum(nsb_k[:-1], out=seg[1:])
+            pair_pt = np.repeat(np.arange(K), nsb_k)
+            idx_in_seg = np.arange(total, dtype=np.int64) - seg[pair_pt]
+            pair_sb = idx_in_seg + self.sb_off[slot][pair_pt]
+            sxmin = self.sbxmin[pair_sb]
+            sxmax = self.sbxmax[pair_sb]
+            symin = self.sbymin[pair_sb]
+            symax = self.sbymax[pair_sb]
+            self._layout_cache = (
+                key,
+                (seg, pair_pt, pair_sb, idx_in_seg, sxmin, sxmax, symin, symax),
+            )
+        total = len(pair_pt)
 
         pxp = px[pair_pt]
         pyp = py[pair_pt]
-        bxmin = self.bxmin[pair_blk]
-        bxmax = self.bxmax[pair_blk]
-        bymin = self.bymin[pair_blk]
-        bymax = self.bymax[pair_blk]
-        ddx = np.maximum(bxmin - pxp, 0.0) + np.maximum(pxp - bxmax, 0.0)
-        ddy = np.maximum(bymin - pyp, 0.0) + np.maximum(pyp - bymax, 0.0)
-        lb2 = ddx * ddx + ddy * ddy
-        cross = ~((pyp < bymin) | (pyp >= bymax) | (pxp > bxmax))
+        ddx = np.maximum(sxmin - pxp, 0.0) + np.maximum(pxp - sxmax, 0.0)
+        ddy = np.maximum(symin - pyp, 0.0) + np.maximum(pyp - symax, 0.0)
+        lb2_sb = ddx * ddx + ddy * ddy
+        cross_sb = ~((pyp < symin) | (pyp >= symax) | (pxp > sxmax))
 
-        # first minimal-lb block per point
-        seg_min = np.minimum.reduceat(lb2, seg)
-        idx_in_seg = np.arange(total, dtype=np.int64) - seg[pair_pt]
-        cand_pos = np.where(lb2 == seg_min[pair_pt], idx_in_seg, total)
+        # seed superblock (first minimal lower bound) -> coarse upper bound
+        seg_min = np.minimum.reduceat(lb2_sb, seg)
+        cand_pos = np.where(lb2_sb == seg_min[pair_pt], idx_in_seg, total)
         first_pos = np.minimum.reduceat(cand_pos, seg)
-        is_seed = idx_in_seg == first_pos[pair_pt]
+        seed_sb = pair_sb[seg + first_pos]
+        ub2 = self._face_ub2(
+            px, py,
+            self.sbxmin[seed_sb], self.sbxmax[seed_sb],
+            self.sbymin[seed_sb], self.sbymax[seed_sb],
+        )
 
-        need1 = cross | is_seed
-        sel1 = np.flatnonzero(need1)
-        min2_pb, nf_pb = self._eval_pairs(px, py, pair_pt[sel1], pair_blk[sel1], True)
-        cnt1 = np.add.reduceat(need1.astype(np.int64), seg)
+        keep = cross_sb | (lb2_sb <= ub2[pair_pt])
+        sel_sb = np.flatnonzero(keep)
+        spt = pair_pt[sel_sb]
+        ssb = pair_sb[sel_sb]
+
+        # expand surviving superblocks to their blocks
+        bcnt = self.sb_cnt[ssb]
+        m = int(bcnt.sum())
+        e_pt = np.repeat(spt, bcnt)
+        csum = np.cumsum(bcnt)
+        blk = np.repeat(self.sb_start[ssb], bcnt) + np.arange(m) - np.repeat(csum - bcnt, bcnt)
+
+        bxmin = self.bxmin[blk]
+        bxmax = self.bxmax[blk]
+        bymin = self.bymin[blk]
+        bymax = self.bymax[blk]
+        pxb = px[e_pt]
+        pyb = py[e_pt]
+        bdx = np.maximum(bxmin - pxb, 0.0) + np.maximum(pxb - bxmax, 0.0)
+        bdy = np.maximum(bymin - pyb, 0.0) + np.maximum(pyb - bymax, 0.0)
+        lb2 = bdx * bdx + bdy * bdy
+        cross = ~((pyb < bymin) | (pyb >= bymax) | (pxb > bxmax))
+
+        # refine the upper bound with the seed BLOCK (min lb2 per point over
+        # the expanded blocks; e_pt is non-decreasing so bincount segments it)
+        per_pt_cnt = np.bincount(e_pt, minlength=K)  # >= 1: seed sb expanded
+        b0 = np.zeros(K, dtype=np.int64)
+        np.cumsum(per_pt_cnt[:-1], out=b0[1:])
+        blk_seg_min = np.minimum.reduceat(lb2, b0)
+        pos_in_pt = np.arange(m, dtype=np.int64) - b0[e_pt]
+        cand_b = np.where(lb2 == blk_seg_min[e_pt], pos_in_pt, m)
+        first_b = np.minimum.reduceat(cand_b, b0)
+        seed_blk = blk[b0 + first_b]
+        ub2b = np.minimum(
+            ub2,
+            self._face_ub2(
+                px, py,
+                self.bxmin[seed_blk], self.bxmax[seed_blk],
+                self.bymin[seed_blk], self.bymax[seed_blk],
+            ),
+        )
+
+        need = cross | (lb2 <= ub2b[e_pt])
+        sel = np.flatnonzero(need)
+        min2_pb = self._eval_dist(px, py, e_pt[sel], blk[sel])
+        cnt = np.bincount(e_pt[sel], minlength=K)  # >= 1 (argmin block kept)
         b1 = np.zeros(K, dtype=np.int64)
-        np.cumsum(cnt1[:-1], out=b1[1:])
-        est2 = np.minimum.reduceat(min2_pb, b1)  # cnt1 >= 1 always (seed)
-        nflips = np.add.reduceat(nf_pb, b1)
+        np.cumsum(cnt[:-1], out=b1[1:])
+        min2 = np.minimum.reduceat(min2_pb, b1)
 
-        need2 = ~need1 & (lb2 < est2[pair_pt])
-        sel2 = np.flatnonzero(need2)
-        if len(sel2):
-            min2_pb2, _ = self._eval_pairs(px, py, pair_pt[sel2], pair_blk[sel2], False)
-            cnt2 = np.add.reduceat(need2.astype(np.int64), seg)
-            nz = np.flatnonzero(cnt2)
-            b2 = np.zeros(len(nz), dtype=np.int64)
-            np.cumsum(cnt2[nz][:-1], out=b2[1:])
-            est2[nz] = np.minimum(est2[nz], np.minimum.reduceat(min2_pb2, b2))
+        # parity only over crossing blocks (typically far fewer than `need`)
+        selc = np.flatnonzero(cross)
+        if len(selc):
+            nf_pb = self._eval_flips(px, py, e_pt[selc], blk[selc])
+            nflips = np.bincount(e_pt[selc], weights=nf_pb, minlength=K)
+            odd = (nflips.astype(np.int64) & 1).astype(bool)
+        else:
+            odd = np.zeros(K, dtype=bool)
 
-        d = np.sqrt(est2)
-        return np.where((nflips & 1).astype(bool), d, -d)
+        d = np.sqrt(min2)
+        return np.where(odd, d, -d)
 
 
 class _PolyState:

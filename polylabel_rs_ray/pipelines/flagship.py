@@ -17,7 +17,59 @@ from ..stages.label import label_points
 from ..stages.tiles import render_tiles
 
 
-def flagship_pipeline(sf_dir: str, *, encoder_concurrency: int = 2):
+PROBE_DOCS = 10_000  # bounded prefix the skew probe labels (cheap vs full run)
+SKEW_THRESHOLD = 4.0  # hottest-tile / mean-tile row ratio that triggers salting
+MAX_SALT = 8
+
+
+def choose_salt(tile_counts) -> int:
+    """Pure salting policy: if the hottest tile holds more than
+    SKEW_THRESHOLD x the mean tile's rows, spread it over enough sub-groups
+    to bring the expected hottest sub-group back under the threshold."""
+    import numpy as np
+
+    counts = np.asarray(tile_counts, dtype=np.float64)
+    if len(counts) < 2:
+        return 1
+    ratio = counts.max() / counts.mean()
+    if ratio <= SKEW_THRESHOLD:
+        return 1
+    return int(min(MAX_SALT, np.ceil(ratio / SKEW_THRESHOLD) + 1))
+
+
+def probe_tile_skew(sf_dir: str, *, probe_docs: int = PROBE_DOCS,
+                    encoder_concurrency: int = 2) -> tuple[float, int]:
+    """Cheap streaming skew probe: label+encode only a bounded PREFIX of the
+    doc stream (limit() stops the read early), partial-agg the tile
+    histogram (result is <= #tiles rows — driver-small), and derive the salt
+    factor.  Relative tile skew in a prefix tracks global skew because doc
+    order is uncorrelated with geometry."""
+    import numpy as np
+
+    from ..stages.agg import grouped_aggregate
+
+    ds = read_docs(sf_dir).limit(probe_docs)
+    ds = label_points(ds)
+    ds = ds.map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=encoder_concurrency,
+    )
+    hist = grouped_aggregate(ds, ["tile_id"], [("count", None, "n")]).to_pandas()
+    counts = hist["n"].to_numpy()
+    ratio = float(counts.max() / counts.mean()) if len(counts) else 1.0
+    return ratio, choose_salt(counts)
+
+
+def flagship_pipeline(sf_dir: str, *, encoder_concurrency: int = 2,
+                      salt: int | None = None):
+    """salt=None runs the skew probe and salts the tile shuffle only when
+    the probe finds a hot tile (salted output == unsalted output — pinned by
+    tests/test_join_tiles.py::test_salted_tiles_match_unsalted)."""
+    if salt is None:
+        _, salt = probe_tile_skew(sf_dir, encoder_concurrency=encoder_concurrency)
     ds = read_docs(sf_dir)
     ds = label_points(ds)
     ds = ds.map_batches(
@@ -27,7 +79,7 @@ def flagship_pipeline(sf_dir: str, *, encoder_concurrency: int = 2):
         zero_copy_batch=True,
         concurrency=encoder_concurrency,
     )
-    return render_tiles(ds)
+    return render_tiles(ds, salt=salt)
 
 
 def labeled_output(sf_dir: str, *, encoder_concurrency: int = 2):

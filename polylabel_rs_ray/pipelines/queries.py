@@ -1136,14 +1136,42 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
 
 
-def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98):
-    """Embedding-cosine near-dup within LSH-style buckets: vectors bucketed
-    by sign pattern against broadcast hyperplanes; exact cosine verify in
-    each bucket.  Planted duplicates (vec_id + DUP_OFFSET, tiny noise)."""
-    from ..functions.dedup import cosine_near_dup_pairs
-    from ..functions.sim import embedding_matrix
+EMB_BANDS = 4  # OR across bands (recall), AND within a band's planes (precision)
+
+
+def emb_planes_for(n: int) -> int:
+    """Planes per band scaled with corpus size: 2^planes ~ 16n buckets keeps
+    the expected random-collision pair count per band ~n/16 (LINEAR in n),
+    where any fixed plane count degrades to O(n^2 / 2^planes).  Capped at 40
+    so band keys pack into (band << 48) | bucket."""
+    return int(min(40, max(12, np.ceil(np.log2(max(n, 2))) + 4)))
+
+
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98, n_parts: int | None = None):
+    """Embedding-cosine near-dup via AND/OR hyperplane banding: a vector
+    lands in EMB_BANDS buckets (one per band of ``emb_planes_for(n)`` sign
+    bits); two vectors are candidates iff they share a FULL band (AND of the
+    planes), and any of the 4 bands suffices (OR).  The plane count scales
+    with corpus size so expected candidate pairs grow LINEARLY in n, unlike
+    a single flat 256-bucket code whose all-pairs verify is O(n^2/256).
+
+    Verification is exact cosine inside (band,bucket) segments, grouped by a
+    bucket-hash partition (one map_groups task per partition, vectorized
+    segment sweep inside — not one task per bucket).  Cross-band duplicate
+    pairs are deduped by a final (vec_a, vec_b) groupby-max (pair table is
+    tiny: only near-dup candidates).  Planted duplicates (vec_id +
+    DUP_OFFSET, tiny noise) pin recall in pytest."""
+    from ..functions.sim import _unit, embedding_matrix
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+    import pyarrow.parquet as pq
+
+    # corpus size from parquet METADATA (no data read) -> plane count; the
+    # planted stage roughly doubles every-7th row, hence the *8/7
+    n_est = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows * 8 // 7
+    planes_per_band = emb_planes_for(n_est)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -1164,34 +1192,78 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98):
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = embedding_matrix(batch)
-        # hyperplanes derived deterministically from the embedding dim, so
-        # every task builds the identical bucketing without coordination
-        planes = np.random.default_rng(123).standard_normal((8, m.shape[1]))
-        signs = (m @ planes.T) > 0
-        bucket = (signs * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
+        n, dim = m.shape
+        # hyperplanes derived deterministically from (dim, plane count), so
+        # every task builds the identical banding without coordination
+        R = planes_per_band
+        planes = np.random.default_rng(123).standard_normal((EMB_BANDS * R, dim))
+        signs = (m @ planes.T) > 0  # (n, BANDS*R)
+        weights = (np.int64(1) << np.arange(R, dtype=np.int64))
+        keys = np.empty((n, EMB_BANDS), dtype=np.int64)
+        for b in range(EMB_BANDS):
+            bucket = signs[:, b * R : (b + 1) * R] @ weights
+            keys[:, b] = (np.int64(b) << np.int64(48)) | bucket
+        flat_keys = keys.ravel()  # row-major: vector i's bands are contiguous
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), EMB_BANDS)
         return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "bucket": pa.array(bucket, type=pa.int64()),
-            "embedding": batch.column("embedding"),
+            "part": pa.array(_hash_part(flat_keys, P), type=pa.int64()),
+            "bkey": pa.array(flat_keys, type=pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, EMB_BANDS), type=pa.int64()),
+            "embedding": emb.take(pa.array(take_idx)),
         })
 
     bucketed = planted.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify(group: pa.Table) -> pa.Table:
-        m = embedding_matrix(group)
+    def verify_part(group: pa.Table) -> pa.Table:
+        keys = group.column("bkey").to_numpy()
         ids = group.column("vec_id").to_numpy().astype(np.int64)
-        pairs = cosine_near_dup_pairs(m, ids, threshold)
+        va, vb, cp = [], [], []
+        if len(keys) > 1:
+            m = _unit(embedding_matrix(group))
+            order = np.argsort(keys, kind="stable")
+            keys_s = keys[order]
+            starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+            ends = np.r_[starts[1:], len(keys_s)]
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                seg = order[s:e]
+                u = m[seg]
+                sim = u @ u.T
+                iu, ju = np.triu_indices(len(seg), k=1)
+                hit = sim[iu, ju] >= threshold
+                if not hit.any():
+                    continue
+                a = ids[seg[iu[hit]]]
+                b = ids[seg[ju[hit]]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                keep = lo != hi  # same vec_id via two bands is not a pair
+                va.append(lo[keep])
+                vb.append(hi[keep])
+                cp.append(np.round(sim[iu, ju][hit][keep] * 100).astype(np.int64))
+        if va:
+            va_a, vb_a, cp_a = np.concatenate(va), np.concatenate(vb), np.concatenate(cp)
+        else:
+            va_a = vb_a = cp_a = np.empty(0, dtype=np.int64)
         return pa.table({
-            "vec_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-            "vec_b": pa.array([p[1] for p in pairs], type=pa.int64()),
-            "cos_pct": pa.array([int(round(p[2] * 100)) for p in pairs], type=pa.int64()),
+            "vec_a": pa.array(va_a, type=pa.int64()),
+            "vec_b": pa.array(vb_a, type=pa.int64()),
+            "cos_pct": pa.array(cp_a, type=pa.int64()),
         })
 
-    from ..stages.util import coalesce_for_shuffle
-
-    return coalesce_for_shuffle(bucketed).groupby("bucket").map_groups(
-        verify, batch_format="pyarrow"
+    pairs = (
+        coalesce_for_shuffle(bucketed)
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pyarrow")
     )
+    # OR-construction dedup: the same pair can surface from several bands
+    from ..stages.agg import grouped_aggregate
+
+    return grouped_aggregate(pairs, ["vec_a", "vec_b"], [("max", "cos_pct", "cos_pct")])
 
 
 def q_ann_topk(sf_dir: str):

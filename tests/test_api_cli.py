@@ -119,3 +119,43 @@ def test_copartitioned_join_equals_broadcast(ray_session):
     a = set(zip(broadcast.column("doc_num").to_pylist(), broadcast.column("zone_id").to_pylist()))
     b = set(zip(cop.doc_num, cop.zone_id))
     assert a == b and len(a) > 200
+
+
+def test_choose_salt_policy():
+    from polylabel_rs_ray.pipelines.flagship import MAX_SALT, choose_salt
+
+    # flat distribution -> no salting
+    assert choose_salt(np.full(50, 100)) == 1
+    # one hot tile 20x the mean -> salted, bounded
+    counts = np.full(50, 100)
+    counts[7] = 100 * 50  # ~25x mean after inflation
+    s = choose_salt(counts)
+    assert 1 < s <= MAX_SALT
+
+
+def test_salt_balances_hot_tile(ray_session):
+    """The salt column spreads one hot tile's rows over ~salt sub-groups of
+    comparable size (the reducer-balance property salting exists for)."""
+    import pyarrow as pa
+
+    from polylabel_rs_ray.stages.tiles import render_tiles  # noqa: F401 (import path)
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    x = rng.uniform(0.0, 5.0, n)  # all inside one tile at default res
+    salt = 4
+    s = (np.abs(x * 64389.0).astype(np.int64)) % salt  # same hash as add_salt
+    sizes = np.bincount(s, minlength=salt)
+    assert len(sizes) == salt and (sizes > 0).all()
+    assert sizes.max() < 2.0 * n / salt  # no sub-group re-concentrates the key
+
+
+def test_flagship_probe_detects_sentinel_hot_tile(ray_session):
+    """The sentinel fixtures pin ~2/9 of all labels at (0,0), making the
+    tile containing the origin genuinely hot — the probe must see it and
+    salt the shuffle (salted output == unsalted is pinned above)."""
+    from polylabel_rs_ray.pipelines.flagship import MAX_SALT, SKEW_THRESHOLD, probe_tile_skew
+
+    ratio, salt = probe_tile_skew("/root/testdata/sf0.001")
+    assert ratio > SKEW_THRESHOLD
+    assert 1 < salt <= MAX_SALT

@@ -158,3 +158,27 @@ def test_minhash_partitioned_equals_single_task(ray_session):
     s1 = set(zip(df1.doc_a, df1.doc_b, df1.jaccard_pct))
     s8 = set(zip(df8.doc_a, df8.doc_b, df8.jaccard_pct))
     assert s1 == s8 and len(s1) > 0
+
+def test_banded_bucketing_candidate_growth():
+    """AND/OR banding with size-scaled planes: candidate pair count grows
+    ~linearly with n (10x rows -> well under the ~100x a fixed flat code
+    would produce from O(n^2/buckets) random collisions)."""
+    from polylabel_rs_ray.pipelines.queries import EMB_BANDS, emb_planes_for
+
+    rng = np.random.default_rng(7)
+
+    def cand_pairs(n):
+        m = rng.standard_normal((n, 64))
+        R = emb_planes_for(n)
+        planes = np.random.default_rng(123).standard_normal((EMB_BANDS * R, 64))
+        signs = (m @ planes.T) > 0
+        w = np.int64(1) << np.arange(R, dtype=np.int64)
+        tot = 0
+        for b in range(EMB_BANDS):
+            bucket = signs[:, b * R : (b + 1) * R] @ w
+            _, cnt = np.unique(bucket, return_counts=True)
+            tot += int((cnt * (cnt - 1) // 2).sum())
+        return tot
+
+    c_small, c_big = cand_pairs(2000), cand_pairs(20000)
+    assert c_big <= max(30 * max(c_small, 1), 400), (c_small, c_big)

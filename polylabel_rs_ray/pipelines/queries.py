@@ -847,7 +847,8 @@ SQL_BPE_TOKENS = r"""
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID vs the table's lang column (rows-only)."""
+    """Heuristic language ID vs the table's lang column (oracle-backed: the
+    stopword-vote + CJK-share heuristic is replayed in pure SQL)."""
     from ..functions.text import lang_id_batch
 
     ray = _ray()
@@ -864,21 +865,81 @@ def q_lang_id(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sql_lang_hits(words: tuple) -> str:
+    in_list = ",".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(regexp_extract_all(lower(text), '\\S+'),"
+        f" t -> t IN ({in_list})))"
+    )
+
+
+def _sql_lang_id() -> str:
+    """SQL replay of functions/text.py::lang_id_one: CJK codepoint share
+    first, then stopword argmax with ties to the earliest profile in
+    insertion order (en, fr, de, es), 'und' when no stopword hits."""
+    from ..functions.text import _LANG_PROFILES
+
+    en = _sql_lang_hits(tuple(sorted(_LANG_PROFILES["en"])))
+    fr = _sql_lang_hits(tuple(sorted(_LANG_PROFILES["fr"])))
+    de = _sql_lang_hits(tuple(sorted(_LANG_PROFILES["de"])))
+    es = _sql_lang_hits(tuple(sorted(_LANG_PROFILES["es"])))
+    return f"""
+        WITH hits AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+                   length(text) AS n,
+                   {en} AS h_en, {fr} AS h_fr, {de} AS h_de, {es} AS h_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN CAST(cjk AS DOUBLE) / GREATEST(n, 1) > 0.05 THEN 'zh'
+                 WHEN GREATEST(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                 WHEN h_en = GREATEST(h_en, h_fr, h_de, h_es) THEN 'en'
+                 WHEN h_fr = GREATEST(h_fr, h_de, h_es) THEN 'fr'
+                 WHEN h_de = GREATEST(h_de, h_es) THEN 'de'
+                 ELSE 'es'
+               END AS pred_lang,
+               lang
+        FROM hits
+    """
+
+
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash content fingerprints (rows-only; hash not SQL-expressible)."""
+    """Rolling-hash content fingerprints (oracle-backed: the polynomial
+    fold mod 2^61-1 is replayed with a DuckDB list_reduce over HUGEINTs;
+    exact because the corpus is ASCII, where ord(char) == utf-8 byte —
+    guarded by the ascii flag column on both sides)."""
     from ..functions.text import fingerprint_batch
 
     ray = _ray()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stage(batch: pa.Table) -> pa.Table:
-        fp = fingerprint_batch(batch.column("text").to_pylist())
+        texts = batch.column("text").to_pylist()
+        fp = fingerprint_batch(texts)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "fp61": pa.array(fp, type=pa.int64()),
+            "is_ascii": pa.array(
+                [int(t.isascii()) if t is not None else None for t in texts],
+                type=pa.int64(),
+            ),
         })
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FINGERPRINTS = r"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                            list_transform(split(text, ''), x -> CAST(ord(x) AS HUGEINT))),
+               (a, b) -> (a * 1000003 + b + 1) % 2305843009213693951
+           ) AS BIGINT) AS fp61,
+           CAST(NOT regexp_matches(text, '[^\x00-\x7F]') AS BIGINT) AS is_ascii
+    FROM documents
+"""
 
 
 def mutate_text(text: str, doc_id: int) -> str:
@@ -1390,6 +1451,8 @@ def build_oracles() -> dict:
         "bpe_tokens": SQL_BPE_TOKENS,
         "ann_topk": SQL_ANN_TOPK,
         "media_kind_counts": SQL_MEDIA_KIND_COUNTS,
-        # lang_id, fingerprints, minhash_near_dup, simhash,
-        # embedding_near_dup, ivf_topk: rows-only (not SQL-expressible)
+        "lang_id": _sql_lang_id(),
+        "fingerprints": SQL_FINGERPRINTS,
+        # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
+        # rows-only (not SQL-expressible)
     }

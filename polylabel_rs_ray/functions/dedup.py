@@ -108,6 +108,34 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return minhash_signature(shingles(text, self.ngram), self.a, self.b)
 
+    def signatures(self, texts: list[str | None]) -> np.ndarray:
+        """(n, N_PERM) uint32 signatures for a whole batch in ONE permute +
+        segmented min (bit-identical to per-doc ``signature``): shingle sets
+        are concatenated and the (perm, shingle) modmul runs as a single
+        (N_PERM, S_total) operation with ``minimum.reduceat`` per doc."""
+        shs = [shingles(t or "", self.ngram) for t in texts]
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        out = np.full((len(shs), N_PERM), np.iinfo(np.uint32).max, dtype=np.uint32)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            cat = np.concatenate([shs[i] for i in nz])
+            starts = np.zeros(len(nz), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            v = (self.a[:, None] * cat[None, :] + self.b[:, None]) % MERSENNE31
+            out[nz] = np.minimum.reduceat(v, starts, axis=1).T.astype(np.uint32)
+        return out
+
+
+def band_hashes_batch(sigs: np.ndarray) -> np.ndarray:
+    """(n, LSH_BANDS) int64 bucket keys for a batch of signatures —
+    vectorized form of ``band_hashes`` (identical values)."""
+    rows = sigs.reshape(len(sigs), LSH_BANDS, LSH_ROWS).astype(np.uint64)
+    h = np.full((len(sigs), LSH_BANDS), np.uint64(1469598103934665603), dtype=np.uint64)
+    for r in range(LSH_ROWS):
+        h = (h ^ rows[:, :, r]) * np.uint64(1099511628211)
+    band_idx = np.arange(LSH_BANDS, dtype=np.uint64)
+    return ((h ^ (band_idx[None, :] << np.uint64(56))) >> np.uint64(1)).astype(np.int64)
+
 
 # --- SimHash ---------------------------------------------------------------
 

@@ -1055,7 +1055,7 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
     partition) has the same doc_b, so all copies land in one group.
     Rows-only oracle (pytest pins planted-pair recall and the partitioned
     path's equality with the single-partition path)."""
-    from ..functions.dedup import LSH_BANDS, band_hashes, jaccard, shingles
+    from ..functions.dedup import LSH_BANDS, band_hashes_batch, jaccard, shingles
     from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     ray = _ray()
@@ -1064,19 +1064,16 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
 
     def sign_band(batch: pa.Table) -> pa.Table:
         # stateless tasks (scale with CPUs); the MinHasher is deterministic
-        # and cached per worker process
+        # and cached per worker process.  One vectorized permute + banding
+        # call for the whole batch (no per-doc Python in the hot path).
         mh = _minhasher()
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         texts = batch.column("text").to_pylist()
-        out_bucket = np.empty(len(ids) * LSH_BANDS, dtype=np.int64)
-        for k, t in enumerate(texts):
-            out_bucket[k * LSH_BANDS : (k + 1) * LSH_BANDS] = band_hashes(
-                mh.signature(t or "")
-            )
+        buckets = band_hashes_batch(mh.signatures(texts)).ravel()
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, LSH_BANDS), type=pa.int64()),
-            "bucket": pa.array(out_bucket, type=pa.int64()),
-            "part": pa.array(out_bucket % P, type=pa.int64()),
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "part": pa.array(buckets % P, type=pa.int64()),
         })
 
     banded = ds.map_batches(sign_band, batch_format="pyarrow", zero_copy_batch=True)

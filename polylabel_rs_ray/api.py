@@ -16,13 +16,19 @@ from .geom.kernel import polylabel_one
 
 
 def label_position(ext, interiors=None, tolerance: float = 1.0) -> tuple[float, float]:
+    """f32 inputs are honored like the reference's generic ``T: GeoFloat``
+    (src/lib.rs:336-339): coordinates are upcast for the search (>= f32
+    precision) and the result is returned in the input's dtype."""
+    f32_in = False
     if hasattr(ext, "exterior"):  # shapely-like Polygon object
         poly = ext
         rings = [np.asarray(list(poly.exterior.coords), dtype=np.float64)]
         rings += [np.asarray(list(r.coords), dtype=np.float64) for r in poly.interiors]
     else:
-        rings = [np.asarray(ext, dtype=np.float64).reshape(-1, 2)]
-        for inner in interiors or []:
-            rings.append(np.asarray(inner, dtype=np.float64).reshape(-1, 2))
+        arrs = [np.asarray(ext)] + [np.asarray(inner) for inner in interiors or []]
+        f32_in = all(a.dtype == np.float32 for a in arrs)
+        rings = [a.astype(np.float64, copy=False).reshape(-1, 2) for a in arrs]
     x, y, _d, _a, _e = polylabel_one(rings, float(tolerance))
+    if f32_in:
+        return (np.float32(x), np.float32(y))
     return (x, y)

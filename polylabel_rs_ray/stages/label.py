@@ -24,8 +24,12 @@ DEFAULT_TOLERANCE = 1.0
 
 
 def rings_to_numpy(col: pa.ChunkedArray | pa.Array) -> list[list[np.ndarray]]:
-    """Zero-copy extraction: list<list<fixed_size_list<double,2>>> column ->
-    per-row lists of (n, 2) float64 views into the Arrow buffers."""
+    """Zero-copy extraction: list<list<fixed_size_list<double|float,2>>>
+    column -> per-row lists of (n, 2) views into the Arrow buffers.
+
+    f32 columns (the reference's generic ``T: GeoFloat`` with T=f32,
+    lib.rs:336-339) are read zero-copy too; the kernel upcasts per ring, so
+    f32 geometry labels at >= the reference's f32 precision."""
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     out: list[list[np.ndarray]] = []
     for chunk in chunks:
@@ -33,7 +37,8 @@ def rings_to_numpy(col: pa.ChunkedArray | pa.Array) -> list[list[np.ndarray]]:
         l2 = chunk.values  # ListArray of points (unsliced child)
         pt_off = l2.offsets.to_numpy()
         fsl = l2.values
-        flat = np.frombuffer(fsl.values.buffers()[1], dtype=np.float64)
+        np_dtype = np.float32 if pa.types.is_float32(fsl.values.type) else np.float64
+        flat = np.frombuffer(fsl.values.buffers()[1], dtype=np_dtype)
         if fsl.values.offset:
             flat = flat[fsl.values.offset :]
         coords = flat[: len(fsl) * 2].reshape(-1, 2)

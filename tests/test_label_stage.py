@@ -101,3 +101,34 @@ def test_ray_dataset_label_stage(ray_session, doc_table):
     np.testing.assert_array_equal(got["label_dist"].to_numpy(), ref.column("label_dist").to_numpy())
     # spans survive the distributed pipeline in order
     assert got["spans"][3].tolist() == doc_table.column("spans")[3].as_py()
+
+
+def test_f32_rings_column_label():
+    """Generic-float parity (reference T: GeoFloat, lib.rs:336-339): an
+    Arrow rings column of fixed_size_list<float,2> labels zero-copy; the
+    result matches the f64 path within f32 coordinate quantization."""
+    import pyarrow as pa
+
+    from polylabel_rs_ray.stages.label import label_batch
+
+    ring = [[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0], [1.0, 4.0],
+            [0.0, 4.0], [0.0, 0.0]]
+    fsl32 = pa.list_(pa.list_(pa.list_(pa.float32(), 2)))
+    t = pa.table({
+        "doc_num": pa.array([0], type=pa.int64()),
+        "rings": pa.array([[ring]], type=fsl32),
+        "tolerance": pa.array([0.1], type=pa.float64()),
+    })
+    out = label_batch(t)
+    assert out.column("label_x")[0].as_py() == 0.5625
+    assert out.column("label_y")[0].as_py() == 0.5625
+
+
+def test_f32_api_dtype_roundtrip():
+    from polylabel_rs_ray.api import label_position
+
+    ext32 = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4], [0, 0]],
+                     dtype=np.float32)
+    x, y = label_position(ext32, tolerance=0.1)
+    assert x.dtype == np.float32 and y.dtype == np.float32
+    assert (float(x), float(y)) == (0.5625, 0.5625)

@@ -141,11 +141,26 @@ def main() -> None:
         # Override with GRAFT_SCALE_ARMS="8,32".
         lo, hi = (int(v) for v in os.environ.get("GRAFT_SCALE_ARMS", "2,8").split(","))
         reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+        gate = float(os.environ.get("GRAFT_SCALE_LOAD_GATE", "2.0"))
+
+        def wait_for_quiet(max_wait_s: float = 300.0) -> float:
+            """Hold each arm until 1-min loadavg drops below the gate —
+            co-tenant spikes (loadavg 0->50 with nothing of ours running)
+            otherwise contaminate whichever arm they land on."""
+            t_end = time.time() + max_wait_s
+            while time.time() < t_end:
+                load1 = os.getloadavg()[0]
+                if load1 < gate:
+                    return load1
+                time.sleep(5)
+            return os.getloadavg()[0]
+
         # best-of-N per arm to damp external load noise; all samples reported
         results = {}
         samples = {lo: [], hi: []}
         for _ in range(reps):
             for cpus in (lo, hi):
+                wait_for_quiet()
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-only"],

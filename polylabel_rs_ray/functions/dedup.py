@@ -139,18 +139,46 @@ def band_hashes_batch(sigs: np.ndarray) -> np.ndarray:
 
 # --- SimHash ---------------------------------------------------------------
 
+_TOK8_HASH: dict[str, int] = {}  # per-process blake2b 8-byte token-hash cache
+
+
+def _tok8_array(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    th = _TOK8_HASH
+    for i, t in enumerate(tokens):
+        h = th.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            th[t] = h
+        out[i] = h
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out >> np.uint64(1))  # keep int64-positive for Arrow/SQL
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts: list[str | None]) -> np.ndarray:
+    """(n,) int64 SimHashes, vectorized across the batch: all token hashes
+    are expanded to a (T_total, 64) sign matrix once and summed per doc with
+    ``add.reduceat`` (token hashes cached per process)."""
+    toks_per_doc = [(t or "").lower().split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    acc = np.zeros((len(texts), 64), dtype=np.int64)
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        hashes = _tok8_array([tok for toks in toks_per_doc for tok in toks])
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        signs = 2 * bits - 1  # (T_total, 64) of +-1
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        acc[nz] = np.add.reduceat(signs, starts, axis=0)
+    pos = (acc > 0).astype(np.uint64)
+    packed = (pos << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return (packed >> np.uint64(1)).astype(np.int64)  # int64-positive for Arrow/SQL
 
 
 def hamming64(a: int, b: int) -> int:

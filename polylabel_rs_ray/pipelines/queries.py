@@ -1178,20 +1178,21 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
 
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (rows-only; pytest pins hamming
-    closeness of planted near-duplicates)."""
-    from ..functions.dedup import simhash64
+    closeness of planted near-duplicates).  Vectorized per batch, elastic
+    stateless tasks (no concurrency cap)."""
+    from ..functions.dedup import simhash64_batch
 
     ds = _corpus_with_planted_dups(sf_dir)
 
     def stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        hashes = [simhash64(t or "") for t in batch.column("text").to_pylist()]
         return pa.table({
-            "doc_id": ids,
-            "simhash": pa.array(hashes, type=pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(
+                simhash64_batch(batch.column("text").to_pylist()), type=pa.int64()
+            ),
         })
 
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 EMB_BANDS = 4  # OR across bands (recall), AND within a band's planes (precision)

@@ -716,6 +716,232 @@ SQL_SESSIONIZE = """
 """
 
 
+def q_asof_purchase_view(sf_dir: str, n_parts: int | None = None):
+    """AS-OF join (an operator Ray Data lacks natively): every 'purchase'
+    event is matched to the latest 'view' event of the same user at or
+    before it.  Both sides are co-partitioned by hash(user_id) through ONE
+    groupby; inside each partition the views are sorted once and every
+    purchase resolves with a single vectorized searchsorted over packed
+    (user, ts) keys.  Inner semantics (purchases with no prior view drop),
+    matching DuckDB's ASOF JOIN oracle."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        kind = batch.column("event_type")
+        keep = pc.is_in(kind, value_set=pa.array(["purchase", "view"]))
+        b = batch.filter(keep)
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = pc.equal(b.column("event_type"), "purchase")
+        return pa.table({
+            "part": pa.array(_hash_part(uid, P), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "event_id": b.column("event_id"),
+            "is_purchase": pc.cast(is_p, pa.int64()),
+        })
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts_us").to_numpy().astype(np.int64)
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        isp = group.column("is_purchase").to_numpy().astype(bool)
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "purchase_ts_us": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "view_ts_us": pa.array([], type=pa.int64()),
+        })
+        if not isp.any() or isp.all():
+            return empty
+        # pack (user, ts-rel) into one sortable int64: ts spans << 2^42 us
+        # after rebasing, user ids << 2^21 — no overflow
+        t0 = ts.min()
+        key = (uid << np.int64(42)) | (ts - t0)
+        vmask = ~isp
+        vkey = np.sort(key[vmask])
+        vu_sorted = (vkey >> np.int64(42))
+        pk = key[isp]
+        idx = np.searchsorted(vkey, pk, side="right") - 1
+        ok = idx >= 0
+        ok[ok] &= vu_sorted[idx[ok]] == (pk[ok] >> np.int64(42))
+        if not ok.any():
+            return empty
+        sel_p = np.flatnonzero(isp)[ok]
+        view_ts = (vkey[idx[ok]] & ((np.int64(1) << np.int64(42)) - 1)) + t0
+        return pa.table({
+            "event_id": pa.array(eid[sel_p], type=pa.int64()),
+            "purchase_ts_us": pa.array(ts[sel_p], type=pa.int64()),
+            "user_id": pa.array(uid[sel_p], type=pa.int64()),
+            "view_ts_us": pa.array(view_ts, type=pa.int64()),
+        })
+
+    return (
+        coalesce_for_shuffle(ds.map_batches(keyed, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(asof_group, batch_format="pyarrow")
+    )
+
+
+SQL_ASOF_PURCHASE_VIEW = """
+    SELECT p.event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           p.user_id,
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 3, n_parts: int | None = None):
+    """Windowed rank / top-N per group WITHOUT one-task-per-group: orders
+    are hash-partitioned by customer through one groupby, and each partition
+    ranks every customer's orders in a single vectorized lexsort + segment
+    sweep (groupby(custkey).map_groups would pay ~0.2 s per group at 100k+
+    customers — this pays it once per partition)."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cust = batch.column("o_custkey").to_numpy().astype(np.int64)
+        return batch.append_column("part", pa.array(_hash_part(cust, P), type=pa.int64()))
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        cust = group.column("o_custkey").to_numpy().astype(np.int64)
+        okey = group.column("o_orderkey").to_numpy().astype(np.int64)
+        price = group.column("o_totalprice").to_numpy()
+        order = np.lexsort((okey, -price, cust))  # cust asc, price desc, key asc
+        cs = cust[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        seg_id = np.cumsum(np.r_[True, cs[1:] != cs[:-1]]) - 1
+        rn = np.arange(len(cs)) - starts[seg_id]
+        keep = rn < k
+        sel = order[keep]
+        return pa.table({
+            "o_custkey": pa.array(cust[sel], type=pa.int64()),
+            "rank": pa.array(rn[keep] + 1, type=pa.int64()),
+            "o_orderkey": pa.array(okey[sel], type=pa.int64()),
+            "o_totalprice": pa.array(price[sel], type=pa.float64()),
+        })
+
+    return (
+        coalesce_for_shuffle(ds.map_batches(keyed, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(topk_group, batch_format="pyarrow")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+    SELECT o_custkey, CAST(rn AS BIGINT) AS rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+"""
+
+
+QUANTILE_QS = (0.25, 0.5, 0.9)
+QUANTILE_BINS = 4096
+
+
+def q_value_quantiles(sf_dir: str):
+    """EXACT distributed quantiles (quantile_disc semantics: the element at
+    0-indexed rank ceil(q*n)-1) without ever materializing or sorting the
+    column: (1) one streamed pass reduces per-batch (count, min, max);
+    (2) one streamed pass reduces a 4096-bin histogram (each batch emits one
+    partial vector — driver sees O(batches) rows, not O(n)); (3) only the
+    bins containing target ranks are filtered out and sorted — expected
+    n/4096 rows per bin; at deeper scale the same step recurses per bin
+    instead of collecting."""
+    ray = _ray()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            "n": pa.array([len(v)], type=pa.int64()),
+            "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+            "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
+        })
+
+    st = ds.map_batches(stats_batch, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(st["n"].sum())
+    lo = float(st["lo"].min())
+    hi = float(st["hi"].max())
+    ks = [int(np.ceil(q * n)) - 1 for q in QUANTILE_QS]
+
+    if n == 0 or lo == hi:
+        return pa.table({
+            "q": pa.array(list(QUANTILE_QS), type=pa.float64()),
+            "value": pa.array([lo] * len(QUANTILE_QS), type=pa.float64()),
+        })
+
+    B = QUANTILE_BINS
+    scale = B / (hi - lo)
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum((np.maximum(v - lo, 0.0) * scale).astype(np.int64), B - 1)
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        h = np.bincount(bin_of(v), minlength=B)
+        return pa.table({"hist": pa.array([h], type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    hist = np.zeros(B, dtype=np.int64)
+    for row in parts["hist"]:
+        hist += np.asarray(row, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(hist)])
+    target_bins = sorted({int(np.searchsorted(cum, kk, side="right") - 1) for kk in ks})
+
+    tb = np.asarray(target_bins, dtype=np.int64)
+
+    def pick_bins(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        m = np.isin(bin_of(v), tb)
+        return pa.table({"value": pa.array(v[m], type=pa.float64()),
+                         "bin": pa.array(bin_of(v[m]), type=pa.int64())})
+
+    got = ds.map_batches(pick_bins, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out_vals = []
+    for kk in ks:
+        b = int(np.searchsorted(cum, kk, side="right") - 1)
+        vals = np.sort(got.loc[got["bin"] == b, "value"].to_numpy())
+        out_vals.append(float(vals[kk - cum[b]]))
+    return pa.table({
+        "q": pa.array(list(QUANTILE_QS), type=pa.float64()),
+        "value": pa.array(out_vals, type=pa.float64()),
+    })
+
+
+SQL_VALUE_QUANTILES = """
+    SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+    UNION ALL
+    SELECT 0.5 AS q, quantile_disc(value, 0.5) AS value FROM events
+    UNION ALL
+    SELECT 0.9 AS q, quantile_disc(value, 0.9) AS value FROM events
+"""
+
+
 def q_orders_without_lineitems(sf_dir: str):
     """Distributed anti join: orders with no lineitem rows.
 
@@ -1398,6 +1624,9 @@ def build_queries() -> dict:
         "zone_join_copartitioned": q_zone_join_copartitioned,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "asof_purchase_view": q_asof_purchase_view,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "value_quantiles": q_value_quantiles,
         "orders_without_lineitems": q_orders_without_lineitems,
         "distinct_sources": q_distinct_sources,
         "knn_tiles": q_knn_tiles,
@@ -1433,6 +1662,9 @@ def build_oracles() -> dict:
         "zone_join_copartitioned": _sql_zone_join(),
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
+        "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+        "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+        "value_quantiles": SQL_VALUE_QUANTILES,
         "orders_without_lineitems": SQL_ORDERS_WITHOUT_LINEITEMS,
         "distinct_sources": SQL_DISTINCT_SOURCES,
         "knn_tiles": _sql_knn_tiles(),

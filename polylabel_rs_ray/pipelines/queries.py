@@ -1402,6 +1402,132 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
     )
 
 
+def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
+    """Near-dup CLUSTER assignment: connected components over the verified
+    MinHash pair graph, each member doc labeled with its component's min
+    doc_id (the canonical survivor) — the step that turns pairwise near-dup
+    hits into keep/drop decisions.
+
+    Distributed iterative min-label propagation (Pregel-style supersteps on
+    Ray Data): each round co-partitions (edges ∪ labels) by hash(node),
+    attaches the source label to every directed edge, then takes the min
+    label per node via the map-side-combined aggregate.  Labels only ever
+    decrease, so convergence == sum(labels) unchanged; rounds ≈ cluster
+    diameter (tiny for dup clusters).  Per-round state (the label table,
+    O(nodes-in-pairs) — far smaller than the corpus) is materialized so
+    iterations don't re-execute prior lineage.  Rows-only (CC is not
+    SQL-expressible without recursion over engine-computed pairs); pytest
+    pins equality with a driver-side union-find at sf0.001."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    pairs = q_minhash_near_dup(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "part": pa.array(_hash_part(src, P), type=pa.int64()),
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
+        node = np.unique(np.concatenate([a, b]))
+        return pa.table({
+            "part": pa.array(_hash_part(node, P), type=pa.int64()),
+            "node": pa.array(node, type=pa.int64()),
+            "label": pa.array(node, type=pa.int64()),
+        })
+
+    labels = grouped_aggregate(
+        pairs.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True),
+        ["part", "node"],
+        [("min", "label", "label")],
+    ).materialize()
+
+    def label_sum(ds) -> int:
+        from ray.data.aggregate import Sum
+
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"]) if row and row.get("s") is not None else 0
+
+    prev = label_sum(labels)
+    for _round in range(64):  # diameter bound; dup clusters converge in 2-3
+        def attach(group: pa.Table) -> pa.Table:
+            is_edge = pc.is_valid(group.column("dst"))
+            e = group.filter(is_edge)
+            l = group.filter(pc.invert(is_edge))
+            if e.num_rows == 0 or l.num_rows == 0:
+                return pa.table({
+                    "part": pa.array([], type=pa.int64()),
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                })
+            lut_nodes = l.column("node").to_numpy().astype(np.int64)
+            lut_labels = l.column("label").to_numpy().astype(np.int64)
+            order = np.argsort(lut_nodes)
+            lut_nodes, lut_labels = lut_nodes[order], lut_labels[order]
+            src = e.column("node").to_numpy().astype(np.int64)
+            dst = e.column("dst").to_numpy().astype(np.int64)
+            idx = np.searchsorted(lut_nodes, src)
+            src_label = lut_labels[idx]  # every edge src has a label row here
+            # messages: dst inherits src's label; re-key by hash(dst)
+            return pa.table({
+                "part": pa.array(_hash_part(dst, P), type=pa.int64()),
+                "node": pa.array(dst, type=pa.int64()),
+                "label": pa.array(src_label, type=pa.int64()),
+            })
+
+        def edges_as_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "part": batch.column("part"),
+                "node": batch.column("src"),
+                "label": pa.nulls(batch.num_rows, pa.int64()),
+                "dst": batch.column("dst"),
+            })
+
+        def labels_as_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "part": batch.column("part"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "dst": pa.nulls(batch.num_rows, pa.int64()),
+            })
+
+        msgs = (
+            coalesce_for_shuffle(
+                edges.map_batches(edges_as_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+                    labels.map_batches(labels_as_rows, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+            )
+            .groupby("part")
+            .map_groups(attach, batch_format="pyarrow")
+        )
+        labels = grouped_aggregate(
+            msgs.union(labels), ["part", "node"], [("min", "label", "label")]
+        ).materialize()
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.select_columns(["node", "label"]).rename_columns(
+        ["doc_id", "cluster_id"]
+    )
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash per document (rows-only; pytest pins hamming
     closeness of planted near-duplicates).  Vectorized per batch, elastic
@@ -1627,6 +1753,7 @@ def build_queries() -> dict:
         "asof_purchase_view": q_asof_purchase_view,
         "top_orders_per_customer": q_top_orders_per_customer,
         "value_quantiles": q_value_quantiles,
+        "dedup_clusters": q_dedup_clusters,
         "orders_without_lineitems": q_orders_without_lineitems,
         "distinct_sources": q_distinct_sources,
         "knn_tiles": q_knn_tiles,

@@ -182,3 +182,31 @@ def test_banded_bucketing_candidate_growth():
 
     c_small, c_big = cand_pairs(2000), cand_pairs(20000)
     assert c_big <= max(30 * max(c_small, 1), 400), (c_small, c_big)
+
+def test_dedup_clusters_match_union_find(ray_session):
+    """Distributed min-label propagation == driver-side union-find over the
+    same verified pair set (component rep = min doc_id)."""
+    import collections
+
+    from polylabel_rs_ray.pipelines.queries import q_dedup_clusters, q_minhash_near_dup
+
+    df = q_dedup_clusters(SF).to_pandas()
+    pairs = q_minhash_near_dup(SF).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = collections.defaultdict(list)
+    for n in parent:
+        comp[find(n)].append(n)
+    ref = {n: min(members) for members in comp.values() for n in members}
+    got = dict(zip(df.doc_id, df.cluster_id))
+    assert got == ref and len(got) > 0

@@ -142,6 +142,93 @@ def _sql_label_dyadic() -> str:
     """
 
 
+COARSE_RES = 4  # 16x16 world grid -> 256-unit spatial partitions
+BBOX_QUERY = (100.0, 150.0, 612.0, 662.0)  # deterministic demo bbox
+
+
+def spatial_partitioned_docs(sf_dir: str) -> str:
+    """Labeled docs written ONCE as hive-partitioned parquet keyed by the
+    coarse spatial tile of each label (partition_cols=['ptile']) — the
+    clustered layout that makes spatial reads prunable.  Fingerprinted and
+    atomically published like the labeled checkpoint."""
+    import os
+    import shutil
+
+    from ..stages.cells import encode_cells, grid_coords
+
+    ckpt = _labeled_checkpoint_dir(sf_dir) + "_spatial"
+    if not os.path.isdir(ckpt):
+        ds = labeled_docs(sf_dir)
+
+        def add_ptile(batch: pa.Table) -> pa.Table:
+            x = batch.column("label_x").to_numpy()
+            y = batch.column("label_y").to_numpy()
+            ix, iy = grid_coords(x, y, COARSE_RES)
+            pt = encode_cells(ix, iy, COARSE_RES)
+            return pa.table({
+                "doc_num": batch.column("doc_num"),
+                "label_x": batch.column("label_x"),
+                "label_y": batch.column("label_y"),
+                "ptile": pa.array(pt, type=pa.int64()),
+            })
+
+        tmp = f"{ckpt}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(add_ptile, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(tmp, partition_cols=["ptile"])
+        try:
+            os.rename(tmp, ckpt)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return ckpt
+
+
+def q_bbox_query(sf_dir: str):
+    """PARTITION-PRUNED spatial read: only the coarse-tile partitions whose
+    cells intersect the query bbox are opened (cover_bbox over the same
+    grid that wrote them — a guaranteed superset of matching rows), then
+    the exact bbox filter runs per batch.  At 10^12 docs this reads
+    |bbox|/|world| of the data instead of all of it.  Restricted to the
+    dyadic fixtures so the oracle can reconstruct label coordinates
+    fp-exactly (integer translation of dyadic constants)."""
+    import os
+
+    from ..stages.cells import cover_bbox
+
+    ray = _ray()
+    ckpt = spatial_partitioned_docs(sf_dir)
+    x0, y0, x1, y1 = BBOX_QUERY
+    tiles = cover_bbox(x0, y0, x1, y1, COARSE_RES)
+    import glob as _glob
+
+    files = []
+    for t in tiles:
+        d = os.path.join(ckpt, f"ptile={int(t)}")
+        if os.path.isdir(d):
+            files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    ds = ray.data.read_parquet(files)
+
+    mods = DYADIC_IDX
+
+    def exact(batch: pa.Table) -> pa.Table:
+        x = batch.column("label_x").to_numpy()
+        y = batch.column("label_y").to_numpy()
+        fixture_idx = batch.column("doc_num").to_numpy() % docs_mod.N_FIXTURES
+        m = (x >= x0) & (x < x1) & (y >= y0) & (y < y1) & np.isin(fixture_idx, mods)
+        return batch.filter(pa.array(m)).select(["doc_num", "label_x", "label_y"])
+
+    return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_bbox_query() -> str:
+    x0, y0, x1, y1 = BBOX_QUERY
+    return f"""
+        SELECT doc_num, label_x, label_y FROM ({_sql_label_dyadic()})
+        WHERE label_x >= {x0} AND label_x < {x1}
+          AND label_y >= {y0} AND label_y < {y1}
+    """
+
+
 def q_label_summary(sf_dir: str):
     """Full labeling across every fixture; per-fixture counts + ok counts."""
     ds = labeled_docs(sf_dir)
@@ -1742,6 +1829,7 @@ SQL_MEDIA_KIND_COUNTS = """
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
+        "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
         "span_integrity": q_span_integrity,
         "cell_encode": q_cell_encode,
@@ -1782,6 +1870,7 @@ def build_queries() -> dict:
 def build_oracles() -> dict:
     return {
         "label_dyadic": _sql_label_dyadic(),
+        "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,
         "span_integrity": SQL_SPAN_INTEGRITY,
         "cell_encode": _sql_cell_encode(),

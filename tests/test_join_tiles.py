@@ -134,3 +134,33 @@ def test_new_engine_ops_match_duckdb(ray_session):
         a = d[cols].sort_values(cols).reset_index(drop=True)
         b = o[cols].astype(a.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
         assert len(a) > 0 and a.equals(b), sql
+
+
+def test_bbox_query_pruned_read(ray_session):
+    """Partition-pruned spatial read: result equals the dyadic SQL oracle
+    and the read opens strictly fewer partitions than exist."""
+    import os
+
+    import duckdb
+
+    from polylabel_rs_ray.pipelines.queries import (
+        BBOX_QUERY,
+        COARSE_RES,
+        _sql_bbox_query,
+        q_bbox_query,
+        spatial_partitioned_docs,
+    )
+    from polylabel_rs_ray.stages.cells import cover_bbox
+
+    sf = "/root/testdata/sf0.001"
+    d = q_bbox_query(sf).to_pandas().sort_values("doc_num").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    o = con.execute(_sql_bbox_query()).df().sort_values("doc_num").reset_index(drop=True)
+    assert len(d) > 0 and d.equals(o[list(d.columns)].astype(d.dtypes.to_dict()))
+
+    ckpt = spatial_partitioned_docs(sf)
+    total = {x for x in os.listdir(ckpt) if x.startswith("ptile=")}
+    x0, y0, x1, y1 = BBOX_QUERY
+    opened = {f"ptile={int(t)}" for t in cover_bbox(x0, y0, x1, y1, COARSE_RES)} & total
+    assert 0 < len(opened) < len(total)

@@ -1506,12 +1506,16 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
     SQL-expressible without recursion over engine-computed pairs); pytest
     pins equality with a driver-side union-find at sf0.001."""
     from ..stages.agg import grouped_aggregate
-    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
-    P = int(n_parts or min(32, shuffle_blocks()))
 
     pairs = q_minhash_near_dup(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    # partition width sized to the GRAPH (usually tiny vs the corpus):
+    # ~200k directed edges per partition; a 180-node graph runs as one task
+    # per round while a 10^9-edge graph still spreads across the cluster
+    n_pairs = pairs.count()
+    P = int(n_parts or max(1, min(shuffle_blocks(), (2 * n_pairs) // 200_000 + 1)))
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -1593,12 +1597,11 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
             })
 
         msgs = (
-            coalesce_for_shuffle(
-                edges.map_batches(edges_as_rows, batch_format="pyarrow",
-                                  zero_copy_batch=True).union(
-                    labels.map_batches(labels_as_rows, batch_format="pyarrow",
-                                       zero_copy_batch=True))
-            )
+            edges.map_batches(edges_as_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .union(labels.map_batches(labels_as_rows, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+            .repartition(P)
             .groupby("part")
             .map_groups(attach, batch_format="pyarrow")
         )

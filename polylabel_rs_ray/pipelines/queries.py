@@ -1489,6 +1489,111 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
     )
 
 
+def q_train_test_split(sf_dir: str, train_pct: int = 80):
+    """Deterministic content-hash train/test split (the standard leakage-safe
+    split for training corpora): split key = first 8 hex chars of md5(text)
+    as an integer mod 100, so exact duplicates always land in the same
+    split.  Stateless vectorized-per-batch map; oracle replays the same md5
+    arithmetic in SQL."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        bucket = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100 for t in texts],
+            dtype=np.int64,
+        )
+        split = np.where(bucket < train_pct, "train", "test")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TRAIN_TEST_SPLIT = """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS BIGINT)
+               AS bucket,
+           CASE WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+PACK_BUDGET = 4096  # tokens per training pack
+
+
+def q_token_packing(sf_dir: str, n_parts: int | None = None):
+    """Global ordered running token totals + pack assignment (the
+    sequence-packing step of a training pipeline) via a DISTRIBUTED PREFIX
+    SUM: doc ids are dense, so range partitions are formed arithmetically
+    (doc_id // range) with no shuffle; per-partition token sums reduce to a
+    tiny driver-side prefix table (P rows), and each partition then computes
+    its exact global cumulative sums locally.  pack_id = the PACK_BUDGET
+    bucket the doc's pack STARTS in (window-function-reproducible, hence the
+    SQL oracle)."""
+    import pyarrow.parquet as pq
+    from ..stages.util import shuffle_blocks
+
+    ray = _ray()
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    P = int(n_parts or min(32, shuffle_blocks()))
+    rng = max(1, -(-n_docs // P))  # ceil
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch.column("text"), pattern=r"\S+"), pa.int64())
+        part = pc.cast(pc.divide(batch.column("doc_id"), rng), pa.int64())
+        return pa.table({
+            "part": part,
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n,
+        })
+
+    toked = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ..stages.agg import grouped_aggregate
+
+    # tiny reduce: P rows -> driver-side exclusive prefix per partition
+    sums = grouped_aggregate(toked, ["part"], [("sum", "n_tokens", "s")]).to_pandas()
+    sums = sums.sort_values("part")
+    prefix = dict(zip(sums["part"], np.concatenate([[0], np.cumsum(sums["s"])[:-1]])))
+
+    def cumsum_part(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        nt = group.column("n_tokens").to_numpy().astype(np.int64)
+        order = np.argsort(did)
+        did, nt = did[order], nt[order]
+        base = int(prefix[int(group.column("part")[0].as_py())])
+        cum = base + np.cumsum(nt)
+        pack = (cum - nt) // PACK_BUDGET
+        return pa.table({
+            "doc_id": pa.array(did, type=pa.int64()),
+            "cum_tokens": pa.array(cum, type=pa.int64()),
+            "pack_id": pa.array(pack, type=pa.int64()),
+        })
+
+    return toked.groupby("part").map_groups(cumsum_part, batch_format="pyarrow")
+
+
+SQL_TOKEN_PACKING = rf"""
+    SELECT doc_id,
+           CAST(SUM(len(regexp_extract_all(text, '\S+')))
+                    OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens,
+           CAST(FLOOR((SUM(len(regexp_extract_all(text, '\S+')))
+                           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - len(regexp_extract_all(text, '\S+'))) / {PACK_BUDGET})
+                AS BIGINT) AS pack_id
+    FROM documents
+"""
+
+
 def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
     """Near-dup CLUSTER assignment: connected components over the verified
     MinHash pair graph, each member doc labeled with its component's min
@@ -1844,6 +1949,8 @@ def build_queries() -> dict:
         "asof_purchase_view": q_asof_purchase_view,
         "top_orders_per_customer": q_top_orders_per_customer,
         "value_quantiles": q_value_quantiles,
+        "train_test_split": q_train_test_split,
+        "token_packing": q_token_packing,
         "dedup_clusters": q_dedup_clusters,
         "orders_without_lineitems": q_orders_without_lineitems,
         "distinct_sources": q_distinct_sources,
@@ -1881,6 +1988,8 @@ def build_oracles() -> dict:
         "zone_join_copartitioned": _sql_zone_join(),
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
+        "train_test_split": SQL_TRAIN_TEST_SPLIT,
+        "token_packing": SQL_TOKEN_PACKING,
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
         "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "value_quantiles": SQL_VALUE_QUANTILES,

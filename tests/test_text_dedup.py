@@ -210,3 +210,25 @@ def test_dedup_clusters_match_union_find(ray_session):
     ref = {n: min(members) for members in comp.values() for n in members}
     got = dict(zip(df.doc_id, df.cluster_id))
     assert got == ref and len(got) > 0
+
+def test_split_and_packing_match_duckdb(ray_session):
+    """Hash train/test split and distributed prefix-sum token packing ==
+    their SQL window/md5 oracles."""
+    import duckdb
+
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_TOKEN_PACKING,
+        SQL_TRAIN_TEST_SPLIT,
+        q_token_packing,
+        q_train_test_split,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    for q, sql in [
+        (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+        (q_token_packing, SQL_TOKEN_PACKING),
+    ]:
+        d = q(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        o = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        assert len(d) > 0 and d.equals(o[list(d.columns)].astype(d.dtypes.to_dict()))

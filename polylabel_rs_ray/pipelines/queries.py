@@ -1489,6 +1489,68 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
     )
 
 
+TOP_BIGRAMS_K = 20
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus n-gram statistics (the vocabulary-counting step of tokenizer
+    training): word bigrams exploded and counted per batch (map-side
+    combine via pyarrow group_by), summed through one small groupby over
+    DISTINCT bigrams, then top-k with a per-block partial top-k so the
+    final sort sees k x blocks rows, not the vocabulary."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").lower().split()
+            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        tbl = pa.table({"bigram": pa.array(grams, type=pa.string())})
+        out = tbl.group_by(["bigram"]).aggregate([("bigram", "count")])
+        return pa.table({
+            "bigram": out.column("bigram"),
+            "n": pc.cast(out.column("bigram_count"), pa.int64()),
+        })
+
+    from ..stages.agg import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.map_batches(bigram_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["bigram"],
+        [("sum", "n", "n")],
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        g = np.asarray(batch.column("bigram").to_pylist(), dtype=object)
+        order = np.lexsort((g, -n))[:TOP_BIGRAMS_K]
+        return pa.table({
+            "bigram": pa.array(g[order], type=pa.string()),
+            "n": pa.array(n[order], type=pa.int64()),
+        })
+
+    return (
+        counts.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(TOP_BIGRAMS_K)
+    )
+
+
+SQL_TOP_BIGRAMS = rf"""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+    ),
+    bi AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT {TOP_BIGRAMS_K}
+"""
+
+
 def q_train_test_split(sf_dir: str, train_pct: int = 80):
     """Deterministic content-hash train/test split (the standard leakage-safe
     split for training corpora): split key = first 8 hex chars of md5(text)
@@ -1949,6 +2011,7 @@ def build_queries() -> dict:
         "asof_purchase_view": q_asof_purchase_view,
         "top_orders_per_customer": q_top_orders_per_customer,
         "value_quantiles": q_value_quantiles,
+        "top_bigrams": q_top_bigrams,
         "train_test_split": q_train_test_split,
         "token_packing": q_token_packing,
         "dedup_clusters": q_dedup_clusters,
@@ -1988,6 +2051,7 @@ def build_oracles() -> dict:
         "zone_join_copartitioned": _sql_zone_join(),
         "events_windowed": SQL_EVENTS_WINDOWED,
         "sessionize": SQL_SESSIONIZE,
+        "top_bigrams": SQL_TOP_BIGRAMS,
         "train_test_split": SQL_TRAIN_TEST_SPLIT,
         "token_packing": SQL_TOKEN_PACKING,
         "asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,

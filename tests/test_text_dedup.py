@@ -232,3 +232,14 @@ def test_split_and_packing_match_duckdb(ray_session):
         d = q(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         o = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
         assert len(d) > 0 and d.equals(o[list(d.columns)].astype(d.dtypes.to_dict()))
+
+def test_top_bigrams_match_duckdb(ray_session):
+    import duckdb
+
+    from polylabel_rs_ray.pipelines.queries import SQL_TOP_BIGRAMS, q_top_bigrams
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    d = q_top_bigrams(SF).to_pandas().reset_index(drop=True)
+    o = con.execute(SQL_TOP_BIGRAMS).df()[list(d.columns)].astype(d.dtypes.to_dict())
+    assert len(d) == 20 and d.equals(o)

@@ -1350,7 +1350,12 @@ def _bucket_candidate_pairs(group: pa.Table) -> pa.Table:
     })
 
 
-def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None = None):
+def q_minhash_near_dup(
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_parts: int | None = None,
+    use_bloom: bool | None = None,
+):
     """MinHash+LSH near-dup, fully distributed — no stage ever holds the
     whole band table or the whole corpus:
 
@@ -1396,9 +1401,38 @@ def q_minhash_near_dup(sf_dir: str, threshold: float = 0.5, n_parts: int | None 
         .map_groups(_bucket_candidate_pairs, batch_format="pyarrow")
     )
 
+    # Distributed bloom semi-join prefilter: only docs that can appear in a
+    # candidate pair cross the two verify shuffles (no false negatives ->
+    # results unchanged; false positives ship harmlessly).  It requires
+    # FINISHING candidate generation before the doc passes start, losing
+    # pipeline overlap — measured 3.5x slower at sf0.1 (120k docs) but the
+    # shuffle volume it saves dominates once the corpus text is large, so
+    # it auto-enables past ~5M docs.
+    if use_bloom is None:
+        import pyarrow.parquet as pq
+
+        use_bloom = (
+            pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows > 5_000_000
+        )
+    bloom_ref = None
+    if use_bloom:
+        from ..functions.bloom import bloom_size_bits, build_bloom
+
+        cands = cands.materialize()  # pair table: tiny vs the corpus
+        n_pairs = cands.count()
+        bloom_ref = ray.put(
+            build_bloom(cands, ["doc_a", "doc_b"], bloom_size_bits(2 * n_pairs))
+        )
+
     # --- distributed verify: two co-partitioned join passes -----------------
     def docs_keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        if bloom_ref is not None:
+            from ..functions.bloom import bloom_contains
+
+            keep = bloom_contains(ray.get(bloom_ref), ids)
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
         n = len(ids)
         return pa.table({
             "part": pa.array(_hash_part(ids, P), type=pa.int64()),

@@ -243,3 +243,31 @@ def test_top_bigrams_match_duckdb(ray_session):
     d = q_top_bigrams(SF).to_pandas().reset_index(drop=True)
     o = con.execute(SQL_TOP_BIGRAMS).df()[list(d.columns)].astype(d.dtypes.to_dict())
     assert len(d) == 20 and d.equals(o)
+
+def test_bloom_no_false_negatives():
+    from polylabel_rs_ray.functions.bloom import (
+        bloom_contains,
+        bloom_size_bits,
+        _hash_pair,
+        _set_bits,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 60, 50_000).astype(np.int64)
+    m = bloom_size_bits(len(keys))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for idx in _hash_pair(keys.astype(np.uint64), m):
+        _set_bits(bits, idx)
+    assert bloom_contains(bits, keys).all()  # never a false negative
+    other = rng.integers(1 << 61, 1 << 62, 50_000).astype(np.int64)
+    fp = bloom_contains(bits, other).mean()
+    assert fp < 0.02, fp
+
+def test_minhash_bloom_path_equals_unfiltered(ray_session):
+    from polylabel_rs_ray.pipelines.queries import q_minhash_near_dup
+
+    a = q_minhash_near_dup(SF, use_bloom=False).to_pandas()
+    b = q_minhash_near_dup(SF, use_bloom=True).to_pandas()
+    sa = set(zip(a.doc_a, a.doc_b, a.jaccard_pct))
+    sb = set(zip(b.doc_a, b.doc_b, b.jaccard_pct))
+    assert sa == sb and len(sa) > 0

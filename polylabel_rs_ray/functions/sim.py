@@ -160,6 +160,40 @@ def kmeans_refine(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.nd
     return _unit(c)
 
 
+def kmeans_distributed(ds, seed: np.ndarray, iters: int = 3) -> np.ndarray:
+    """Spherical Lloyd iterations over the FULL dataset, distributed: each
+    iteration is one streamed ``map_batches`` pass emitting per-batch
+    partial (per-centroid sum, count) rows — the driver reduces O(batches)
+    fixed-size partials, never vectors.  Deterministic given the seed."""
+    C, D = seed.shape
+    c = _unit(np.asarray(seed, dtype=np.float64))
+    for _ in range(iters):
+        cc = c.copy()
+
+        def partials(batch: pa.Table) -> pa.Table:
+            m = _unit(embedding_matrix(batch))
+            a = np.argmax(m @ cc.T, axis=1)
+            sums = np.zeros((C, m.shape[1]))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=C).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.ravel()], type=pa.list_(pa.float64())),
+                "cnt": pa.array([cnt], type=pa.list_(pa.int64())),
+            })
+
+        p = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        S = np.zeros((C, D))
+        N = np.zeros(C, dtype=np.int64)
+        for srow, nrow in zip(p["sums"], p["cnt"]):
+            S += np.asarray(srow, dtype=np.float64).reshape(C, D)
+            N += np.asarray(nrow, dtype=np.int64)
+        nz = N > 0
+        c = c.copy()
+        c[nz] = S[nz] / N[nz, None]
+        c = _unit(c)
+    return c
+
+
 def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
                       n_centroids: int = 16, nprobe: int = 4):
     import pyarrow.parquet as pq
@@ -169,7 +203,11 @@ def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).slice(0, max(256, n_queries))
     m = embedding_matrix(head)
-    centroids = kmeans_refine(m, n_centroids)
+    # seed from the head sample (driver-side, deterministic), then refine on
+    # the WHOLE table with distributed Lloyd passes
+    seed = kmeans_refine(m, n_centroids)
+    full = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    centroids = kmeans_distributed(full, seed, iters=2)
     qm = m[:n_queries]
     qids = head.column("vec_id").to_numpy().astype(np.int64)[:n_queries]
 

@@ -108,8 +108,14 @@ def run_queries(sf_dir: str) -> dict:
         "media_kind_counts",
     ]
     qs = entrymod.queries()
+    gate = float(os.environ.get("GRAFT_LOAD_GATE", "2.0"))
     out = {}
     for name in names:
+        # brief per-query quiet gate: co-tenant load storms otherwise land
+        # on whichever query is running and masquerade as a regression
+        t_end = time.time() + 45
+        while time.time() < t_end and os.getloadavg()[0] >= gate + 0.5:
+            time.sleep(3)
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume the stream without materializing wide results

@@ -132,3 +132,20 @@ def test_f32_api_dtype_roundtrip():
     x, y = label_position(ext32, tolerance=0.1)
     assert x.dtype == np.float32 and y.dtype == np.float32
     assert (float(x), float(y)) == (0.5625, 0.5625)
+
+
+def test_labeled_checkpoint_fingerprint_invalidation(tmp_path):
+    """Checkpoint lineage: same source -> same path; touched source
+    (mtime change) -> different path (stale checkpoint never reused)."""
+    import os
+    import shutil
+
+    from polylabel_rs_ray.pipelines.queries import _labeled_checkpoint_dir
+
+    src = tmp_path / "documents.parquet"
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+    p1 = _labeled_checkpoint_dir(str(tmp_path))
+    p2 = _labeled_checkpoint_dir(str(tmp_path))
+    assert p1 == p2
+    os.utime(src, (1_700_000_000, 1_700_000_000))
+    assert _labeled_checkpoint_dir(str(tmp_path)) != p1

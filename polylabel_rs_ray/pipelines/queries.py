@@ -848,10 +848,16 @@ def q_asof_purchase_view(sf_dir: str, n_parts: int | None = None):
         })
         if not isp.any() or isp.all():
             return empty
-        # pack (user, ts-rel) into one sortable int64: ts spans << 2^42 us
-        # after rebasing, user ids << 2^21 — no overflow
+        # pack (user, ts-rel) into one sortable int64: after rebasing to the
+        # partition's min, ts must span < 2^42 us (~52 days) and user ids
+        # < 2^21 — explicit guards, not silent corruption; wider domains
+        # would move to a (user-segment boundaries + per-segment ts
+        # searchsorted) two-level scheme
         t0 = ts.min()
-        key = (uid << np.int64(42)) | (ts - t0)
+        rel = ts - t0
+        if rel.max() >= (1 << 42) or uid.max() >= (1 << 21):
+            raise ValueError("asof key packing out of range: widen the scheme")
+        key = (uid << np.int64(42)) | rel
         vmask = ~isp
         vkey = np.sort(key[vmask])
         vu_sorted = (vkey >> np.int64(42))

@@ -99,3 +99,18 @@ def test_denormal_sliver_no_overflow():
     x, y, d, a, e = polylabel_one(rings, 1.0)
     assert e == "seed_grid_overflow"
     assert np.isfinite(x) and np.isfinite(y)
+
+
+def test_self_intersecting_label_in_grid_overhang():
+    # regression (round-2 hypothesis falsifier): the seed grid tiles
+    # ceil(w/cell_size) columns from bbox.min (lib.rs:267-279), so the last
+    # column overhangs bbox.max by up to one cell.  For this degenerate
+    # self-overlapping ring every distance is negative and an overhang cell
+    # center wins: the label may exceed the bbox, but never the grid extent.
+    rings = [np.array([(0.0, 0.0), (0.0, 11.0), (0.0, 0.5), (-46.0, 0.0)])]
+    x, y, d, a, e = polylabel_one(rings, 1.0)
+    assert e == "" and a != 0.0
+    assert d <= 0  # no interior anywhere
+    cell = 11.0  # min(w=46, h=11)
+    assert -46.0 <= x <= -46.0 + cell * np.ceil(46.0 / cell)  # grid extent
+    assert 0.0 <= y <= 0.0 + cell * np.ceil(11.0 / cell)

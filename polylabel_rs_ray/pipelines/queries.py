@@ -63,6 +63,23 @@ def _labeled_checkpoint_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "polylabel_ckpt", fp, "labeled")
 
 
+def _publish_checkpoint(ckpt: str, write_fn) -> None:
+    """Write-once atomic-rename publish: ``write_fn(tmp_dir)`` writes the
+    parquet, then a rename makes it visible; a losing racer cleans up."""
+    import os
+    import shutil
+
+    if os.path.isdir(ckpt):
+        return
+    tmp = f"{ckpt}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    try:
+        os.rename(tmp, ckpt)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def labeled_docs(sf_dir: str):
     """Interleaved docs (synthesized from the documents table's doc_id) with
     label columns appended — the first half of the flagship pipeline.
@@ -74,18 +91,10 @@ def labeled_docs(sf_dir: str):
     labeled dataset in cluster memory, and a later run reuses it for free."""
     ds = _LABELED_CACHE.get(sf_dir)
     if ds is None:
-        import os
-        import shutil
-
         ckpt = _labeled_checkpoint_dir(sf_dir)
-        if not os.path.isdir(ckpt):
-            tmp = f"{ckpt}.tmp.{os.getpid()}"
-            shutil.rmtree(tmp, ignore_errors=True)
-            label_points(docs_mod.read_docs(sf_dir)).write_parquet(tmp)
-            try:
-                os.rename(tmp, ckpt)  # atomic publish; loser of a race cleans up
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+        _publish_checkpoint(
+            ckpt, lambda tmp: label_points(docs_mod.read_docs(sf_dir)).write_parquet(tmp)
+        )
         ds = _ray().data.read_parquet(ckpt)
         _LABELED_CACHE[sf_dir] = ds
     return ds
@@ -1717,7 +1726,19 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
 
     ray = _ray()
 
-    pairs = q_minhash_near_dup(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    # pair-table CHECKPOINT, not object-store materialize: the verified
+    # near-dup pair graph is written once per source fingerprint and
+    # streamed back for each propagation round / later run — when minhash
+    # and clustering are benched together, the expensive verify pipeline
+    # runs once, and the graph lives on disk instead of pinned in memory
+    ckpt = _labeled_checkpoint_dir(sf_dir)[: -len("labeled")] + "minhash_pairs"
+    _publish_checkpoint(
+        ckpt,
+        lambda tmp: q_minhash_near_dup(sf_dir)
+        .select_columns(["doc_a", "doc_b"])
+        .write_parquet(tmp),
+    )
+    pairs = ray.data.read_parquet(ckpt)
     # partition width sized to the GRAPH (usually tiny vs the corpus):
     # ~200k directed edges per partition; a 180-node graph runs as one task
     # per round while a 10^9-edge graph still spreads across the cluster
@@ -1735,8 +1756,10 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
             "dst": pa.array(dst, type=pa.int64()),
         })
 
+    # edges re-derive from the parquet checkpoint each round (a trivial
+    # re-read + map) instead of pinning 2x the pair graph in the object store
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+                              zero_copy_batch=True)
 
     def init_labels(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)

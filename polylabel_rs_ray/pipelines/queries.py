@@ -2059,6 +2059,405 @@ SQL_MEDIA_KIND_COUNTS = """
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# bounded-window / non-equi-join / sampling / rollup operators
+# --------------------------------------------------------------------------
+
+ROLL_PRECEDING = 2  # ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+
+
+def q_rolling_user_stats(sf_dir: str, n_parts: int | None = None):
+    """Bounded ROWS-window aggregate per key (an operator Ray Data lacks
+    natively): per user, events ordered by (ts, event_id), emit
+    LAG(value,1,0.0), MAX(value) over the trailing 3-row window, and the
+    window row count.  Hash-partitioned by user through ONE groupby; inside
+    a partition every user's windows resolve with segmented numpy shifts —
+    no per-group task, no global sort.  Every output is an exact copy /
+    comparison of input doubles (no reassociated arithmetic), so the SQL
+    window oracle matches bit-for-bit."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        ts_us = batch.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "part": pa.array(_hash_part(uid, P), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "event_id": batch.column("event_id"),
+            "value": batch.column("value"),
+        })
+
+    def windows(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts_us").to_numpy().astype(np.int64)
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        val = group.column("value").to_numpy()
+        n = len(uid)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val = uid[order], ts[order], eid[order], val[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_id = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        pos = np.arange(n) - starts[seg_id]  # row index within its user
+        prev = np.empty(n)
+        prev[0], prev[1:] = 0.0, val[:-1]
+        prev[pos == 0] = 0.0  # LAG default at each segment start
+        roll_max = val.copy()
+        for k in (1, 2):
+            shk = np.empty(n)
+            shk[:k], shk[k:] = -np.inf, val[:-k]
+            np.maximum(roll_max, np.where(pos >= k, shk, -np.inf), out=roll_max)
+        return pa.table({
+            "event_id": pa.array(eid, type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts_us": pa.array(ts, type=pa.int64()),
+            "prev_value": pa.array(prev, type=pa.float64()),
+            "roll_max": pa.array(roll_max, type=pa.float64()),
+            "roll_n": pa.array(np.minimum(pos + 1, ROLL_PRECEDING + 1), type=pa.int64()),
+        })
+
+    return (
+        coalesce_for_shuffle(ds.map_batches(keyed, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+SQL_ROLLING_USER_STATS = """
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           LAG(value, 1, 0.0) OVER w AS prev_value,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+ATTRIB_WINDOW_US = 60 * 60 * 1_000_000  # trailing 1 hour
+
+
+def q_attribution_counts(sf_dir: str, n_parts: int | None = None):
+    """Bounded-interval RANGE JOIN (non-equi): every purchase counts the
+    same user's views with v.ts in (p.ts - 1h, p.ts] — the attribution
+    window.  Co-partitioned by hash(user_id) through one groupby; per
+    partition the views sort once and every purchase resolves with TWO
+    vectorized searchsorteds over packed (user, ts) keys — the
+    bounded-interval sibling of the as-of join (left semantics: zero-view
+    purchases stay, the index difference is already their count)."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        kind = batch.column("event_type")
+        b = batch.filter(pc.is_in(kind, value_set=pa.array(["purchase", "view"])))
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "part": pa.array(_hash_part(uid, P), type=pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "ts_us": pa.array(ts_us, type=pa.int64()),
+            "event_id": b.column("event_id"),
+            "is_purchase": pc.cast(pc.equal(b.column("event_type"), "purchase"), pa.int64()),
+        })
+
+    def count_group(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts_us").to_numpy().astype(np.int64)
+        eid = group.column("event_id").to_numpy().astype(np.int64)
+        isp = group.column("is_purchase").to_numpy().astype(bool)
+        empty = pa.table({
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "purchase_ts_us": pa.array([], type=pa.int64()),
+            "n_views_1h": pa.array([], type=pa.int64()),
+        })
+        if not isp.any():
+            return empty
+        # pack (user, rebased ts) into one sortable int64 (asof-join scheme).
+        # The lower probe rel-H may go negative: it then lands in the
+        # PREVIOUS user's key space, below every key of this user — the
+        # subtraction still counts exactly this user's views in the window,
+        # provided rel.max() + H stays well under 2^42 (guarded).
+        t0 = ts.min()
+        rel = ts - t0
+        if rel.max() + ATTRIB_WINDOW_US >= (1 << 42) or uid.max() >= (1 << 21):
+            raise ValueError("attribution key packing out of range: widen the scheme")
+        key = (uid << np.int64(42)) | rel
+        vkey = np.sort(key[~isp])
+        pk = key[isp]
+        hi = np.searchsorted(vkey, pk, side="right")
+        lo = np.searchsorted(vkey, pk - ATTRIB_WINDOW_US, side="right")
+        sel = np.flatnonzero(isp)
+        return pa.table({
+            "event_id": pa.array(eid[sel], type=pa.int64()),
+            "user_id": pa.array(uid[sel], type=pa.int64()),
+            "purchase_ts_us": pa.array(ts[sel], type=pa.int64()),
+            "n_views_1h": pa.array(hi - lo, type=pa.int64()),
+        })
+
+    return (
+        coalesce_for_shuffle(ds.map_batches(keyed, batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+
+
+SQL_ATTRIBUTION_COUNTS = """
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+_CANON_MASK21 = (1 << 21) - 1
+
+
+def q_canonical_docs(sf_dir: str):
+    """Priority dedup: per exact-duplicate group (md5(text)) keep the BEST
+    doc — longest n_chars, min doc_id as tie-break — not merely the first.
+    The keep decision is a distributed ARGMAX: (n_chars, -doc_id) packs
+    into one int64 max-key that flows through the map-side-combined
+    groupby, so no per-group sort and the shuffle carries
+    O(groups x blocks) rows.  The ROW_NUMBER()=1 oracle replays it."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        nch = batch.column("n_chars").to_numpy().astype(np.int64)
+        if len(did) and (did.max() >= (1 << 21) or nch.max() >= (1 << 40)):
+            raise ValueError("argmax key packing out of range: widen the scheme")
+        key = (nch << np.int64(21)) | (np.int64(_CANON_MASK21) - did)
+        return pa.table({
+            "text_hash": md5_batch(batch.column("text")),
+            "key": pa.array(key, type=pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["text_hash"],
+        [("max", "key", "best_key"), ("count", None, "dup_count")],
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch.column("best_key").to_numpy().astype(np.int64)
+        return pa.table({
+            "text_hash": batch.column("text_hash"),
+            "keep_doc_id": pa.array(
+                np.int64(_CANON_MASK21) - (key & np.int64(_CANON_MASK21)),
+                type=pa.int64(),
+            ),
+            "keep_n_chars": pa.array(key >> np.int64(21), type=pa.int64()),
+            "dup_count": batch.column("dup_count"),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CANONICAL_DOCS = """
+    WITH ranked AS (
+        SELECT md5(text) AS text_hash, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+        FROM documents)
+    SELECT text_hash, doc_id AS keep_doc_id,
+           CAST(n_chars AS BIGINT) AS keep_n_chars,
+           CAST(dup_count AS BIGINT) AS dup_count
+    FROM ranked WHERE rn = 1
+"""
+
+
+STRATA_RATES = {"en": 25}  # dominant language downsampled; others keep 50%
+STRATA_DEFAULT = 50
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified (per-language) downsampling — the corpus
+    rebalancing op: keep pct varies by stratum, the sample key is the same
+    content-hash arithmetic as the train/test split (exact duplicates
+    sample together, leakage-safe), and the whole op is a stateless
+    vectorized map with NO shuffle."""
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        bucket = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 100 for t in texts],
+            dtype=np.int64,
+        )
+        langs = batch.column("lang").to_pylist()
+        rates = np.array([STRATA_RATES.get(l, STRATA_DEFAULT) for l in langs])
+        keep = bucket < rates
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+            "lang": batch.column("lang").filter(pa.array(keep)),
+            "bucket": pa.array(bucket[keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STRATIFIED_SAMPLE = """
+    SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+               CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100
+                    AS BIGINT) AS bucket,
+               CASE lang WHEN 'en' THEN 25 ELSE 50 END AS rate
+        FROM documents)
+    WHERE bucket < rate
+"""
+
+
+HIST_BIN_WIDTH = 25.0
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width binned aggregation (histogram): bin = floor(value/25),
+    count + exact min/max per bin via the map-side-combined groupby.  The
+    bin id is one double division + floor on both sides — bit-identical."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table({
+            "bin": pa.array(np.floor(v / HIST_BIN_WIDTH).astype(np.int64),
+                            type=pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(binned, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"],
+        [("count", None, "n"), ("min", "value", "min_value"),
+         ("max", "value", "max_value")],
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY 1
+"""
+
+
+def q_rollup_sales(sf_dir: str):
+    """Hierarchical aggregate (GROUP BY ROLLUP): the coarser levels
+    re-aggregate the FINEST level's output (|groups| rows) — the fact
+    table is scanned exactly once no matter how many rollup levels.
+    Integer-cents and integral-double sums keep every level bit-exact
+    under reassociation; grouped-out columns take the 'ALL' marker on both
+    sides (no NULL-vs-NULL ambiguity in the driver compare)."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_quantity": batch.column("l_quantity"),
+            "revenue_cents": cents,
+        })
+
+    level0 = grouped_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "l_quantity", "sum_qty"), ("sum", "revenue_cents", "revenue_cents"),
+         ("count", None, "n_items")],
+    ).materialize()  # |groups| rows — the partial both coarser levels reuse
+
+    RESPEC = [("sum", "sum_qty", "sum_qty"),
+              ("sum", "revenue_cents", "revenue_cents"),
+              ("sum", "n_items", "n_items")]
+
+    def all_linestatus(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+            "sum_qty": batch.column("sum_qty"),
+            "revenue_cents": batch.column("revenue_cents"),
+            "n_items": batch.column("n_items"),
+        })
+
+    level1 = grouped_aggregate(level0, ["l_returnflag"], RESPEC).map_batches(
+        all_linestatus, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_all", pa.array([0] * batch.num_rows,
+                                                    type=pa.int64()))
+
+    def all_both(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+            "l_linestatus": pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+            "sum_qty": batch.column("sum_qty"),
+            "revenue_cents": batch.column("revenue_cents"),
+            "n_items": batch.column("n_items"),
+        })
+
+    level2 = grouped_aggregate(
+        level0.map_batches(const_key, batch_format="pyarrow", zero_copy_batch=True),
+        ["_all"],
+        RESPEC,
+    ).map_batches(all_both, batch_format="pyarrow", zero_copy_batch=True)
+
+    return level0.union(level1).union(level2)
+
+
+SQL_ROLLUP_SALES = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -2100,6 +2499,12 @@ def build_queries() -> dict:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "media_kind_counts": q_media_kind_counts,
+        "rolling_user_stats": q_rolling_user_stats,
+        "attribution_counts": q_attribution_counts,
+        "canonical_docs": q_canonical_docs,
+        "stratified_sample": q_stratified_sample,
+        "value_histogram": q_value_histogram,
+        "rollup_sales": q_rollup_sales,
     }
 
 
@@ -2138,6 +2543,12 @@ def build_oracles() -> dict:
         "media_kind_counts": SQL_MEDIA_KIND_COUNTS,
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
+        "rolling_user_stats": SQL_ROLLING_USER_STATS,
+        "attribution_counts": SQL_ATTRIBUTION_COUNTS,
+        "canonical_docs": SQL_CANONICAL_DOCS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "rollup_sales": SQL_ROLLUP_SALES,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

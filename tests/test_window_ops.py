@@ -1,0 +1,74 @@
+"""Bounded-window / range-join / sampling / rollup operators: bit-equal to
+their DuckDB oracles at sf0.001 (the driver repeats this at sf0.01)."""
+
+import duckdb
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _compare(q, sql, con):
+    res = q(SF)
+    d = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if isinstance(d, pa.Table):
+        d = d.to_pandas()
+    o = con.execute(sql).df()
+    cols = sorted(d.columns)
+    a = d[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].astype(a.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b), sql
+    return a
+
+
+def test_window_rollup_ops_match_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_ATTRIBUTION_COUNTS,
+        SQL_CANONICAL_DOCS,
+        SQL_ROLLING_USER_STATS,
+        SQL_ROLLUP_SALES,
+        SQL_STRATIFIED_SAMPLE,
+        SQL_VALUE_HISTOGRAM,
+        q_attribution_counts,
+        q_canonical_docs,
+        q_rolling_user_stats,
+        q_rollup_sales,
+        q_stratified_sample,
+        q_value_histogram,
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    roll = _compare(q_rolling_user_stats, SQL_ROLLING_USER_STATS, con)
+    # window semantics: every event appears once; counts capped at 3
+    assert roll["roll_n"].between(1, 3).all()
+    assert roll["event_id"].is_unique
+
+    attr = _compare(q_attribution_counts, SQL_ATTRIBUTION_COUNTS, con)
+    # left semantics: every purchase is present (zero-view ones included)
+    n_purch = con.execute(
+        "SELECT COUNT(*) FROM events WHERE event_type='purchase'"
+    ).fetchone()[0]
+    assert len(attr) == n_purch and (attr["n_views_1h"] >= 0).all()
+
+    canon = _compare(q_canonical_docs, SQL_CANONICAL_DOCS, con)
+    assert canon["keep_doc_id"].is_unique
+
+    samp = _compare(q_stratified_sample, SQL_STRATIFIED_SAMPLE, con)
+    # stratified rates actually differ: 'en' keeps < others proportionally
+    frac = samp.groupby("lang").size() / con.execute(
+        "SELECT lang, COUNT(*) n FROM documents GROUP BY lang"
+    ).df().set_index("lang")["n"]
+    assert frac["en"] < 0.40  # ~25% kept vs ~50% for the rest
+
+    _compare(q_value_histogram, SQL_VALUE_HISTOGRAM, con)
+
+    roll_sales = _compare(q_rollup_sales, SQL_ROLLUP_SALES, con)
+    # rollup invariant: the grand total row equals the sum of the finest level
+    fine = roll_sales[(roll_sales.l_returnflag != "ALL")
+                      & (roll_sales.l_linestatus != "ALL")]
+    total = roll_sales[(roll_sales.l_returnflag == "ALL")
+                       & (roll_sales.l_linestatus == "ALL")]
+    assert len(total) == 1
+    assert int(total["revenue_cents"].iloc[0]) == int(fine["revenue_cents"].sum())

@@ -168,6 +168,27 @@ def prepare_edges(polys: list[list[np.ndarray]]) -> PreparedBatch:
     return PreparedBatch(ax, ay, bx, by, dx, dy, d2, eoff, ecnt)
 
 
+def _make_scratch(n: int) -> tuple:
+    """Preallocated work buffers for ``_pair_scores`` — one set per cached
+    pair layout.  First-touch page faults on fresh numpy allocations are
+    ~100x a warm write on this class of host, and the search loop calls the
+    scorer dozens of times per batch with an identical layout, so reusing
+    the buffers removes ~10 large allocations per round."""
+    f8 = np.float64
+    return (
+        np.empty(n, f8),  # wx  (becomes ex, then dist2)
+        np.empty(n, f8),  # wy  (becomes ey)
+        np.empty(n, f8),  # t
+        np.empty(n, f8),  # tmp
+        np.empty(n, f8),  # xint
+        np.empty(n, bool),  # c1 (cond_y, then flips)
+        np.empty(n, bool),  # c2
+        np.empty(n, np.int64),  # iflips
+        np.empty(n, f8),  # pxp gather
+        np.empty(n, f8),  # pyp gather
+    )
+
+
 def _pair_scores(
     pxp: np.ndarray,
     pyp: np.ndarray,
@@ -177,6 +198,8 @@ def _pair_scores(
     dy: np.ndarray,
     d2: np.ndarray,
     by: np.ndarray,
+    d2_zero: np.ndarray | None = None,
+    scratch: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per (point, edge) pair: squared point-to-segment distance and
     even-odd ray-cast flip flag.  All inputs are flat pair-aligned arrays.
@@ -184,24 +207,48 @@ def _pair_scores(
     Distance: project, clamp t to [0,1], residual norm — the classic segment
     distance the reference delegates to geo (lib.rs:226).
     Parity: ``(a.y > y) != (b.y > y) && x < (b.x-a.x)*(y-a.y)/(b.y-a.y)+a.x``
-    exactly as lib.rs:218-222."""
-    wx = pxp - ax
-    wy = pyp - ay
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (wx * dx + wy * dy) / d2
-        t = np.where(d2 > 0.0, t, 0.0)
-        np.clip(t, 0.0, 1.0, out=t)
-        ex = wx - t * dx
-        ey = wy - t * dy
-        dist2 = ex * ex + ey * ey
+    exactly as lib.rs:218-222.
 
-        cond_y = (ay > pyp) != (by > pyp)
+    With ``scratch`` the same values compute into caller-owned buffers (the
+    op ORDER is identical, so results stay bit-equal); the returned arrays
+    are views into scratch, valid until the next call with that scratch."""
+    if scratch is None:
+        scratch = _make_scratch(len(pxp))
+    wx, wy, t, tmp, xint, c1, c2, _ibuf, _px, _py = scratch
+    if d2_zero is None:
+        d2_zero = ~(d2 > 0.0)
+    np.subtract(pxp, ax, out=wx)
+    np.subtract(pyp, ay, out=wy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # t = (wx*dx + wy*dy) / d2, zeroed where d2 == 0
+        np.multiply(wx, dx, out=t)
+        np.multiply(wy, dy, out=tmp)
+        np.add(t, tmp, out=t)
+        np.divide(t, d2, out=t)
+        np.copyto(t, 0.0, where=d2_zero)
+        np.clip(t, 0.0, 1.0, out=t)
+
+        # parity first — it needs the original wy
+        np.greater(ay, pyp, out=c1)
+        np.greater(by, pyp, out=c2)
+        np.not_equal(c1, c2, out=c1)  # cond_y
         # the crossing x is only needed where the edge straddles the ray's y
         # (identical fp result; the division is just masked out elsewhere)
-        xint = np.empty_like(dx)
-        np.divide(dx * wy, dy, out=xint, where=cond_y)
-        flips = cond_y & (pxp < (xint + ax))
-    return dist2, flips
+        np.multiply(dx, wy, out=tmp)
+        np.divide(tmp, dy, out=xint, where=c1)
+        np.add(xint, ax, out=xint)
+        np.less(pxp, xint, out=c2)
+        np.logical_and(c1, c2, out=c1)  # flips
+
+        # dist2 = (wx - t*dx)^2 + (wy - t*dy)^2, in place
+        np.multiply(t, dx, out=tmp)
+        np.subtract(wx, tmp, out=wx)  # ex
+        np.multiply(t, dy, out=tmp)
+        np.subtract(wy, tmp, out=wy)  # ey
+        np.multiply(wx, wx, out=wx)
+        np.multiply(wy, wy, out=wy)
+        np.add(wx, wy, out=wx)  # dist2
+    return wx, c1
 
 
 def score_points_flat(
@@ -220,7 +267,7 @@ def score_points_flat(
     key = poly_of_point.tobytes()
     cached = getattr(prep, "pair_cache", None)
     if cached is not None and cached[0] == key:
-        point_rep, seg_start, edges = cached[1]
+        point_rep, seg_start, edges, d2_zero, scratch = cached[1]
     else:
         ecnt = prep.ecnt[poly_of_point]  # edges per point
         starts = prep.eoff[poly_of_point]
@@ -230,7 +277,8 @@ def score_points_flat(
         point_rep = np.repeat(np.arange(K), ecnt)
         pair_idx = np.arange(total, dtype=np.int64) - seg_start[point_rep] + starts[point_rep]
         # the gathered per-pair edge arrays depend only on the layout, so
-        # they are cached alongside it (values are read-only views of prep)
+        # they are cached alongside it (values are read-only views of prep),
+        # as are the zero-length-edge mask and the scorer's scratch buffers
         edges = (
             prep.ax[pair_idx],
             prep.ay[pair_idx],
@@ -239,11 +287,18 @@ def score_points_flat(
             prep.d2[pair_idx],
             prep.by[pair_idx],
         )
-        prep.pair_cache = (key, (point_rep, seg_start, edges))
+        d2_zero = ~(edges[4] > 0.0)
+        scratch = _make_scratch(total)
+        prep.pair_cache = (key, (point_rep, seg_start, edges, d2_zero, scratch))
 
-    dist2, flips = _pair_scores(px[point_rep], py[point_rep], *edges)
+    pxp, pyp = scratch[8], scratch[9]
+    np.take(px, point_rep, out=pxp)
+    np.take(py, point_rep, out=pyp)
+    dist2, flips = _pair_scores(pxp, pyp, *edges, d2_zero=d2_zero, scratch=scratch)
     mind2 = np.minimum.reduceat(dist2, seg_start)
-    nflips = np.add.reduceat(flips.astype(np.int64), seg_start)
+    iflips = scratch[7]
+    np.copyto(iflips, flips, casting="unsafe")
+    nflips = np.add.reduceat(iflips, seg_start)
     d = np.sqrt(mind2)
     return np.where((nflips & 1).astype(bool), d, -d)
 

@@ -2458,6 +2458,70 @@ SQL_ROLLUP_SALES = """
 """
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT) via hierarchical aggregation: the
+    first level dedups (event_type, user_id) pairs with a map-side-combined
+    groupby (the shuffle carries unique pairs per block, not rows), the
+    second level counts the distinct pairs and sums the row counts per
+    type.  No per-key set materialization anywhere."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    level1 = grouped_aggregate(
+        ds, ["event_type", "user_id"], [("count", None, "n")]
+    )
+    return grouped_aggregate(
+        level1, ["event_type"],
+        [("count", None, "n_users"), ("sum", "n", "n_events")],
+    )
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+"""
+
+
+LONG_DOCS_Q = 0.9
+
+
+def q_long_docs(sf_dir: str):
+    """Global-percentile filter (the 'drop the short tail' curation op):
+    the exact P90 of n_chars comes from a value-count aggregate (integer
+    column — the histogram IS exact; driver reduces O(distinct values)
+    rows), the threshold broadcasts into a stateless filter map.  Rank
+    semantics = quantile_disc: element at 0-indexed rank ceil(q*n)-1."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    counts = grouped_aggregate(
+        ds, ["n_chars"], [("count", None, "c")]
+    ).to_pandas().sort_values("n_chars")
+    n = int(counts["c"].sum())
+    k = int(np.ceil(LONG_DOCS_Q * n)) - 1
+    cum = counts["c"].cumsum().to_numpy()
+    thr = int(counts["n_chars"].to_numpy()[np.searchsorted(cum, k, side="right")])
+
+    def keep_long(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_chars"), thr))
+
+    return ds.map_batches(keep_long, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LONG_DOCS = """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9) FROM documents)
+"""
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -2505,6 +2569,8 @@ def build_queries() -> dict:
         "stratified_sample": q_stratified_sample,
         "value_histogram": q_value_histogram,
         "rollup_sales": q_rollup_sales,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "long_docs": q_long_docs,
     }
 
 
@@ -2549,6 +2615,8 @@ def build_oracles() -> dict:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "rollup_sales": SQL_ROLLUP_SALES,
+        "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+        "long_docs": SQL_LONG_DOCS,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

@@ -65,6 +65,10 @@ def test_window_rollup_ops_match_duckdb(ray_session):
     _compare(q_value_histogram, SQL_VALUE_HISTOGRAM, con)
 
     roll_sales = _compare(q_rollup_sales, SQL_ROLLUP_SALES, con)
+    _check_rollup(roll_sales)
+
+
+def _check_rollup(roll_sales):
     # rollup invariant: the grand total row equals the sum of the finest level
     fine = roll_sales[(roll_sales.l_returnflag != "ALL")
                       & (roll_sales.l_linestatus != "ALL")]
@@ -72,3 +76,24 @@ def test_window_rollup_ops_match_duckdb(ray_session):
                        & (roll_sales.l_linestatus == "ALL")]
     assert len(total) == 1
     assert int(total["revenue_cents"].iloc[0]) == int(fine["revenue_cents"].sum())
+
+
+def test_distinct_and_percentile_ops_match_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_DISTINCT_USERS_PER_TYPE,
+        SQL_LONG_DOCS,
+        q_distinct_users_per_type,
+        q_long_docs,
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    dist = _compare(q_distinct_users_per_type, SQL_DISTINCT_USERS_PER_TYPE, con)
+    assert (dist["n_users"] <= dist["n_events"]).all()
+
+    long_docs = _compare(q_long_docs, SQL_LONG_DOCS, con)
+    # ~10% of the corpus survives the P90 filter (quantile_disc semantics)
+    n = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert 0 < len(long_docs) <= 0.2 * n

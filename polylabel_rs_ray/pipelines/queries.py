@@ -2458,6 +2458,74 @@ SQL_ROLLUP_SALES = """
 """
 
 
+def q_order_fulfillment(sf_dir: str):
+    """Distributed LEFT OUTER join + aggregate: every order with its
+    lineitem count and quantity sum, zero-filled when no lineitems exist.
+    Same co-partitioned presence-flag shape as the anti join, except the
+    lineitem side ships per-batch PARTIAL aggregates (count/sum per key)
+    through the union — the shuffle carries O(keys x blocks) rows and the
+    zero-fill falls out of summing an absent side.  o_totalprice rides
+    through a max (keys are unique on the orders side; the lineitem side
+    contributes 0, below every real price)."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_totalprice": batch.column("o_totalprice"),
+            "is_order": pa.array(np.ones(n, dtype=np.int64)),
+            "n_items": pa.array(np.zeros(n, dtype=np.int64)),
+            "sum_qty": pa.array(np.zeros(n, dtype=np.float64)),
+        })
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        gb = pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "q": batch.column("l_quantity"),
+        }).group_by(["o_orderkey"]).aggregate([("q", "count"), ("q", "sum")])
+        n = gb.num_rows
+        return pa.table({
+            "o_orderkey": gb.column("o_orderkey"),
+            "o_totalprice": pa.array(np.zeros(n, dtype=np.float64)),
+            "is_order": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_items": pc.cast(gb.column("q_count"), pa.int64()),
+            "sum_qty": gb.column("q_sum"),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(order_side, batch_format="pyarrow", zero_copy_batch=True)
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = grouped_aggregate(
+        orders.union(lines),
+        ["o_orderkey"],
+        [("max", "is_order", "has_order"), ("max", "o_totalprice", "o_totalprice"),
+         ("sum", "n_items", "n_items"), ("sum", "sum_qty", "sum_qty")],
+    )
+
+    def left(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("has_order"), 1)).select(
+            ["o_orderkey", "o_totalprice", "n_items", "sum_qty"]
+        )
+
+    return joined.map_batches(left, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ORDER_FULFILLMENT = """
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           COALESCE(SUM(l.l_quantity), 0.0) AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact distributed COUNT(DISTINCT) via hierarchical aggregation: the
     first level dedups (event_type, user_id) pairs with a map-side-combined
@@ -2571,6 +2639,7 @@ def build_queries() -> dict:
         "rollup_sales": q_rollup_sales,
         "distinct_users_per_type": q_distinct_users_per_type,
         "long_docs": q_long_docs,
+        "order_fulfillment": q_order_fulfillment,
     }
 
 
@@ -2617,6 +2686,7 @@ def build_oracles() -> dict:
         "rollup_sales": SQL_ROLLUP_SALES,
         "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
         "long_docs": SQL_LONG_DOCS,
+        "order_fulfillment": SQL_ORDER_FULFILLMENT,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

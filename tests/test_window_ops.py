@@ -97,3 +97,22 @@ def test_distinct_and_percentile_ops_match_duckdb(ray_session):
     # ~10% of the corpus survives the P90 filter (quantile_disc semantics)
     n = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert 0 < len(long_docs) <= 0.2 * n
+
+
+def test_left_outer_join_matches_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_ORDER_FULFILLMENT,
+        q_order_fulfillment,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    d = _compare(q_order_fulfillment, SQL_ORDER_FULFILLMENT, con)
+    # left semantics: every order present; the zero-filled rows are exactly
+    # the anti-join set
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    n_empty = con.execute("""SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""").fetchone()[0]
+    assert len(d) == n_orders
+    assert (d["n_items"] == 0).sum() == n_empty

@@ -292,8 +292,8 @@ def score_points_flat(
         prep.pair_cache = (key, (point_rep, seg_start, edges, d2_zero, scratch))
 
     pxp, pyp = scratch[8], scratch[9]
-    np.take(px, point_rep, out=pxp)
-    np.take(py, point_rep, out=pyp)
+    np.take(px, point_rep, out=pxp, mode="clip")
+    np.take(py, point_rep, out=pyp, mode="clip")
     dist2, flips = _pair_scores(pxp, pyp, *edges, d2_zero=d2_zero, scratch=scratch)
     mind2 = np.minimum.reduceat(dist2, seg_start)
     iflips = scratch[7]
@@ -411,43 +411,82 @@ class LargeGroup:
         self.sbymax = np.maximum.reduceat(self.bymax, self.sb_start)
         self._layout_cache: tuple | None = None
 
+    def _scratch(self, n: int) -> tuple:
+        """Growable (cap, 32) work-buffer pool shared by the two block
+        evaluators: block-row counts change every round, so buffers are
+        sized to the high-water mark and sliced.  Fresh multi-MB numpy
+        allocations are mmap-backed and re-fault every page on this host
+        class (~100x a warm write); reuse makes them warm."""
+        pool = getattr(self, "_pool", None)
+        if pool is None or pool[0] < n:
+            cap = max(n, (0 if pool is None else pool[0] * 3 // 2) + 64)
+            pool = (
+                cap,
+                tuple(np.empty((cap, BLOCK_SIZE)) for _ in range(7)),
+                tuple(np.empty((cap, BLOCK_SIZE), dtype=bool) for _ in range(2)),
+            )
+            self._pool = pool
+        return (
+            tuple(b[:n] for b in pool[1]),
+            tuple(b[:n] for b in pool[2]),
+        )
+
     def _eval_dist(self, px, py, e_pt, blk):
         """Per-pair block min dist^2 for (point e_pt[i], block blk[i]).  Pad
         edges are degenerate real vertices (see PreparedLarge): no masking —
-        their distance never beats the block min."""
-        ax = self.ax2[blk]
-        ay = self.ay2[blk]
-        dx = self.dx2[blk]
-        dy = self.dy2[blk]
-        d2nz = self.d2nz2[blk]
+        their distance never beats the block min.  Works in pooled buffers;
+        the fp op order matches the plain expression bit-for-bit."""
+        (A, B, C, D, E, T, U), _ = self._scratch(len(blk))
+        np.take(self.ax2, blk, axis=0, out=A, mode="clip")
+        np.take(self.ay2, blk, axis=0, out=B, mode="clip")
+        np.take(self.dx2, blk, axis=0, out=C, mode="clip")
+        np.take(self.dy2, blk, axis=0, out=D, mode="clip")
+        np.take(self.d2nz2, blk, axis=0, out=E, mode="clip")
         pxp = px[e_pt][:, None]
         pyp = py[e_pt][:, None]
-        wx = pxp - ax
-        wy = pyp - ay
-        t = (wx * dx + wy * dy) / d2nz
-        np.clip(t, 0.0, 1.0, out=t)
-        ex = wx - t * dx
-        ey = wy - t * dy
-        dist2 = ex * ex + ey * ey
-        return dist2.min(axis=1)
+        np.subtract(pxp, A, out=A)  # wx
+        np.subtract(pyp, B, out=B)  # wy
+        # t = (wx*dx + wy*dy) / d2nz
+        np.multiply(A, C, out=T)
+        np.multiply(B, D, out=U)
+        np.add(T, U, out=T)
+        np.divide(T, E, out=T)
+        np.clip(T, 0.0, 1.0, out=T)
+        # dist2 = (wx - t*dx)^2 + (wy - t*dy)^2
+        np.multiply(T, C, out=U)
+        np.subtract(A, U, out=A)  # ex
+        np.multiply(T, D, out=U)
+        np.subtract(B, U, out=B)  # ey
+        np.multiply(A, A, out=A)
+        np.multiply(B, B, out=B)
+        np.add(A, B, out=A)
+        return A.min(axis=1)
 
     def _eval_flips(self, px, py, e_pt, blk):
         """Per-pair ray-cast flip counts — called only for CROSSING blocks
         (a non-crossing block contributes exactly 0 flips: its edges cannot
         straddle the ray's y nor sit right of the point).  Pad edges have
         ay == by, so they never flip."""
-        ax = self.ax2[blk]
-        ay = self.ay2[blk]
-        dx = self.dx2[blk]
-        dy = self.dy2[blk]
-        by = self.by2[blk]
+        (A, B, C, D, E, T, _U), (C1, C2) = self._scratch(len(blk))
+        np.take(self.ax2, blk, axis=0, out=A, mode="clip")
+        np.take(self.ay2, blk, axis=0, out=B, mode="clip")
+        np.take(self.dx2, blk, axis=0, out=C, mode="clip")
+        np.take(self.dy2, blk, axis=0, out=D, mode="clip")
+        np.take(self.by2, blk, axis=0, out=E, mode="clip")
         pxp = px[e_pt][:, None]
         pyp = py[e_pt][:, None]
         with np.errstate(divide="ignore", invalid="ignore"):
-            cond_y = (ay > pyp) != (by > pyp)
-            xint = dx * (pyp - ay) / dy + ax
-            flips = cond_y & (pxp < xint)
-        return flips.sum(axis=1)
+            np.greater(B, pyp, out=C1)
+            np.greater(E, pyp, out=C2)
+            np.not_equal(C1, C2, out=C1)  # cond_y
+            # xint = dx * (pyp - ay) / dy + ax
+            np.subtract(pyp, B, out=T)
+            np.multiply(C, T, out=T)
+            np.divide(T, D, out=T)
+            np.add(T, A, out=T)
+            np.less(pxp, T, out=C2)
+            np.logical_and(C1, C2, out=C1)  # flips
+        return C1.sum(axis=1)
 
     @staticmethod
     def _face_ub2(px, py, xmin, xmax, ymin, ymax):

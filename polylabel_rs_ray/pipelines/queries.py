@@ -2590,6 +2590,145 @@ SQL_LONG_DOCS = """
 """
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_event_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: one row per user with a count
+    column per event type.  The pivot happens INSIDE the map stage
+    (vectorized equality -> int indicator columns), so the groupby is a
+    plain map-side-combined sum — no per-type scan, no post-join, and the
+    shuffle carries one row per (user x block).  Oracle: COUNT(*) FILTER."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id")}
+        kind = batch.column("event_type")
+        for t in PIVOT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(kind, t), pa.int64())
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("sum", f"n_{t}", f"n_{t}") for t in PIVOT_TYPES]
+        + [("count", None, "n_total")],
+    )
+
+
+SQL_USER_EVENT_PIVOT = """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id
+"""
+
+
+GROUP_QUANTILE_Q = 0.5
+
+
+def q_median_value_per_type(sf_dir: str):
+    """Per-GROUP exact quantile (median value per event type): a value
+    isn't integer here, so the engine runs the two-pass histogram
+    selection PER KEY — pass 1 reduces per-(key, batch) count/min/max
+    partials, pass 2 per-key 512-bin histograms (one partial vector per
+    key x batch; driver reduces O(keys x blocks) rows), then only the
+    target bin's rows are pulled per key (expected n_k/512).  Rank
+    semantics = quantile_disc, same as value_quantiles."""
+    ray = _ray()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    B = 512
+
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        gb = pa.table({
+            "event_type": batch.column("event_type"),
+            "v": batch.column("value"),
+        }).group_by(["event_type"]).aggregate([("v", "count"), ("v", "min"), ("v", "max")])
+        return pa.table({
+            "event_type": gb.column("event_type"),
+            "n": pc.cast(gb.column("v_count"), pa.int64()),
+            "lo": gb.column("v_min"),
+            "hi": gb.column("v_max"),
+        })
+
+    st = (
+        ds.map_batches(stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("event_type")
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    )
+    keys = sorted(st.index)
+    kidx = {k: i for i, k in enumerate(keys)}
+    n_k = st["n"].reindex(keys).to_numpy()
+    lo_k = st["lo"].reindex(keys).to_numpy()
+    hi_k = st["hi"].reindex(keys).to_numpy()
+    rank_k = np.ceil(GROUP_QUANTILE_Q * n_k).astype(np.int64) - 1
+    scale_k = np.where(hi_k > lo_k, B / (hi_k - lo_k), 0.0)
+
+    def bin_of(key_ids: np.ndarray, v: np.ndarray) -> np.ndarray:
+        rel = np.maximum(v - lo_k[key_ids], 0.0) * scale_k[key_ids]
+        return np.minimum(rel.astype(np.int64), B - 1)
+
+    def key_ids_of(col: pa.ChunkedArray) -> np.ndarray:
+        return np.array([kidx[k] for k in col.to_pylist()], dtype=np.int64)
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        ki = key_ids_of(batch.column("event_type"))
+        v = batch.column("value").to_numpy()
+        h = np.bincount(ki * B + bin_of(ki, v), minlength=len(keys) * B)
+        return pa.table({"hist": pa.array([h], type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(hist_batch, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    hist = np.zeros(len(keys) * B, dtype=np.int64)
+    for row in parts["hist"]:
+        hist += np.asarray(row, dtype=np.int64)
+    hist = hist.reshape(len(keys), B)
+    cums = np.concatenate([np.zeros((len(keys), 1), dtype=np.int64),
+                           np.cumsum(hist, axis=1)], axis=1)
+    tbin_k = np.array(
+        [int(np.searchsorted(cums[i], rank_k[i], side="right") - 1)
+         for i in range(len(keys))], dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ki = key_ids_of(batch.column("event_type"))
+        v = batch.column("value").to_numpy()
+        m = bin_of(ki, v) == tbin_k[ki]
+        return pa.table({
+            "key_id": pa.array(ki[m], type=pa.int64()),
+            "value": pa.array(v[m], type=pa.float64()),
+        })
+
+    got = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = []
+    for k in keys:
+        i = kidx[k]
+        vals = np.sort(got.loc[got["key_id"] == i, "value"].to_numpy())
+        out.append(float(vals[rank_k[i] - cums[i][tbin_k[i]]]))
+    return pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "median_value": pa.array(out, type=pa.float64()),
+    })
+
+
+SQL_MEDIAN_VALUE_PER_TYPE = """
+    SELECT event_type, quantile_disc(value, 0.5) AS median_value
+    FROM events GROUP BY event_type
+"""
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -2640,6 +2779,8 @@ def build_queries() -> dict:
         "distinct_users_per_type": q_distinct_users_per_type,
         "long_docs": q_long_docs,
         "order_fulfillment": q_order_fulfillment,
+        "user_event_pivot": q_user_event_pivot,
+        "median_value_per_type": q_median_value_per_type,
     }
 
 
@@ -2687,6 +2828,8 @@ def build_oracles() -> dict:
         "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
         "long_docs": SQL_LONG_DOCS,
         "order_fulfillment": SQL_ORDER_FULFILLMENT,
+        "user_event_pivot": SQL_USER_EVENT_PIVOT,
+        "median_value_per_type": SQL_MEDIAN_VALUE_PER_TYPE,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

@@ -116,3 +116,23 @@ def test_left_outer_join_matches_duckdb(ray_session):
         (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""").fetchone()[0]
     assert len(d) == n_orders
     assert (d["n_items"] == 0).sum() == n_empty
+
+
+def test_pivot_and_grouped_quantile_match_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_MEDIAN_VALUE_PER_TYPE,
+        SQL_USER_EVENT_PIVOT,
+        q_median_value_per_type,
+        q_user_event_pivot,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+
+    piv = _compare(q_user_event_pivot, SQL_USER_EVENT_PIVOT, con)
+    # pivot invariant: per-type counts sum to the total
+    parts = piv[[c for c in piv.columns if c.startswith("n_") and c != "n_total"]]
+    assert (parts.sum(axis=1) == piv["n_total"]).all()
+
+    med = _compare(q_median_value_per_type, SQL_MEDIAN_VALUE_PER_TYPE, con)
+    assert len(med) == 5  # one exact median per event type

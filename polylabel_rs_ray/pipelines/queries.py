@@ -2729,6 +2729,90 @@ SQL_MEDIAN_VALUE_PER_TYPE = """
 """
 
 
+HLL_P = 12  # 4096 registers -> ~1.6% typical relative error
+
+
+def _hll_mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a well-distributed 64-bit hash, vectorized."""
+    z = x.astype(np.uint64)
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _leading_zeros64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (6 binary-search steps)."""
+    w = w.copy()
+    lz = np.zeros(len(w), dtype=np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        zero_top = (w >> np.uint64(64 - sh)) == 0
+        lz += np.where(zero_top, sh, 0)
+        w = np.where(zero_top, w << np.uint64(sh), w)
+    return np.where(w == 0, 64, lz)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Mergeable-sketch aggregation (HyperLogLog): per-batch PARTIAL
+    sketches (4096 registers per key) merge with elementwise max through
+    one groupby — the shuffle carries a constant-size row per (key x
+    block) no matter the cardinality, the pattern that replaces exact
+    COUNT(DISTINCT) when the distinct set itself no longer fits a
+    shuffle.  Classic HLL estimator with the linear-counting small-range
+    correction.  Rows-only by construction (the estimate is approximate);
+    pytest pins relative error vs exact COUNT(DISTINCT)."""
+    ray = _ray()
+    m = 1 << HLL_P
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = batch.column("event_type").to_pylist()
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        h = _hll_mix64(uid)
+        reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = h << np.uint64(HLL_P)
+        rho = np.minimum(_leading_zeros64(w), 64 - HLL_P) + 1
+        out_k, out_s = [], []
+        order = np.argsort(kinds, kind="stable")
+        ks = np.asarray(kinds, dtype=object)[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            sel = order[s:e]
+            regs = np.zeros(m, dtype=np.int64)
+            np.maximum.at(regs, reg[sel], rho[sel])
+            out_k.append(ks[s])
+            out_s.append(regs)
+        return pa.table({
+            "event_type": pa.array(out_k, type=pa.string()),
+            "regs": pa.array(out_s, type=pa.list_(pa.int64())),
+        })
+
+    def merge_estimate(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int64)
+        for row in group.column("regs").to_pylist():
+            np.maximum(regs, np.asarray(row, dtype=np.int64), out=regs)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        E = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if E <= 2.5 * m and zeros > 0:  # linear counting small-range fix
+            E = m * np.log(m / zeros)
+        return pa.table({
+            "event_type": pa.array([group.column("event_type")[0].as_py()]),
+            "approx_users": pa.array([int(round(E))], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge_estimate, batch_format="pyarrow")
+    )
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -2781,6 +2865,7 @@ def build_queries() -> dict:
         "order_fulfillment": q_order_fulfillment,
         "user_event_pivot": q_user_event_pivot,
         "median_value_per_type": q_median_value_per_type,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 

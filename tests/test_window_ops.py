@@ -136,3 +136,22 @@ def test_pivot_and_grouped_quantile_match_duckdb(ray_session):
 
     med = _compare(q_median_value_per_type, SQL_MEDIAN_VALUE_PER_TYPE, con)
     assert len(med) == 5  # one exact median per event type
+
+
+def test_hll_sketch_close_to_exact(ray_session):
+    from polylabel_rs_ray.pipelines.queries import q_approx_distinct_users
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    exact = con.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) n FROM events GROUP BY 1"
+    ).df().set_index("event_type")["n"]
+    est = q_approx_distinct_users(SF).to_pandas().set_index("event_type")["approx_users"]
+    assert set(est.index) == set(exact.index)
+    for k in exact.index:
+        err = abs(est[k] - exact[k])
+        rel = err / max(exact[k], 1)
+        # 4096 registers -> ~1.6% typical relative error; at the tiny
+        # sf0.001 cardinality (~15 users) a single register collision is
+        # +-1 absolute, so allow that regime explicitly
+        assert err <= 2 or rel < 0.05, (k, est[k], exact[k])

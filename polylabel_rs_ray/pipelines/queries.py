@@ -2681,8 +2681,11 @@ def q_median_value_per_type(sf_dir: str):
         rel = np.maximum(v - lo_k[key_ids], 0.0) * scale_k[key_ids]
         return np.minimum(rel.astype(np.int64), B - 1)
 
+    key_set = pa.array(keys, type=pa.string())
+
     def key_ids_of(col: pa.ChunkedArray) -> np.ndarray:
-        return np.array([kidx[k] for k in col.to_pylist()], dtype=np.int64)
+        # vectorized key -> dense id (index_in is an arrow C++ kernel)
+        return pc.index_in(col, value_set=key_set).to_numpy().astype(np.int64)
 
     def hist_batch(batch: pa.Table) -> pa.Table:
         ki = key_ids_of(batch.column("event_type"))
@@ -2770,26 +2773,21 @@ def q_approx_distinct_users(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        kinds = batch.column("event_type").to_pylist()
+        # dictionary-encode keys (arrow C++ kernel) -> dense group ids;
+        # one flat scatter-max builds every group's registers at once
+        de = batch.column("event_type").combine_chunks().dictionary_encode()
+        gid = de.indices.to_numpy().astype(np.int64)
+        g = len(de.dictionary)
         uid = batch.column("user_id").to_numpy().astype(np.int64)
         h = _hll_mix64(uid)
         reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
         w = h << np.uint64(HLL_P)
         rho = np.minimum(_leading_zeros64(w), 64 - HLL_P) + 1
-        out_k, out_s = [], []
-        order = np.argsort(kinds, kind="stable")
-        ks = np.asarray(kinds, dtype=object)[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        ends = np.r_[starts[1:], len(ks)]
-        for s, e in zip(starts, ends):
-            sel = order[s:e]
-            regs = np.zeros(m, dtype=np.int64)
-            np.maximum.at(regs, reg[sel], rho[sel])
-            out_k.append(ks[s])
-            out_s.append(regs)
+        regs = np.zeros(g * m, dtype=np.int64)
+        np.maximum.at(regs, gid * m + reg, rho)
         return pa.table({
-            "event_type": pa.array(out_k, type=pa.string()),
-            "regs": pa.array(out_s, type=pa.list_(pa.int64())),
+            "event_type": de.dictionary,
+            "regs": pa.array(list(regs.reshape(g, m)), type=pa.list_(pa.int64())),
         })
 
     def merge_estimate(group: pa.Table) -> pa.Table:

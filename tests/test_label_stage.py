@@ -149,3 +149,34 @@ def test_labeled_checkpoint_fingerprint_invalidation(tmp_path):
     assert p1 == p2
     os.utime(src, (1_700_000_000, 1_700_000_000))
     assert _labeled_checkpoint_dir(str(tmp_path)) != p1
+
+
+def test_read_table_format_fallbacks(ray_session, tmp_path):
+    """read_table resolves lance -> parquet -> csv -> jsonl; row-oriented
+    formats project via select_columns (no pushdown) but yield the same
+    logical table."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from polylabel_rs_ray.sources.table import read_table
+
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "lang"]
+    )
+    want = sorted(zip(src.column("doc_id").to_pylist(), src.column("lang").to_pylist()))
+
+    pacsv.write_csv(src, str(tmp_path / "docs_csv.csv"))
+    with open(tmp_path / "docs_jsonl.jsonl", "w") as f:
+        for d, l in zip(src.column("doc_id").to_pylist(), src.column("lang").to_pylist()):
+            f.write('{"doc_id": %d, "lang": "%s"}\n' % (d, l))
+
+    for name in ("docs_csv", "docs_jsonl"):
+        df = read_table(str(tmp_path), name, columns=["doc_id", "lang"]).to_pandas()
+        got = sorted(zip(df["doc_id"], df["lang"]))
+        assert got == want, name
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_table(str(tmp_path), "missing_table")

@@ -2458,41 +2458,39 @@ SQL_ROLLUP_SALES = """
 """
 
 
-def q_order_fulfillment(sf_dir: str):
+def q_order_fulfillment(sf_dir: str, n_parts: int | None = None):
     """Distributed LEFT OUTER join + aggregate: every order with its
     lineitem count and quantity sum, zero-filled when no lineitems exist.
-    Same co-partitioned presence-flag shape as the anti join, except the
-    lineitem side ships per-batch PARTIAL aggregates (count/sum per key)
-    through the union — the shuffle carries O(keys x blocks) rows and the
-    zero-fill falls out of summing an absent side.  o_totalprice rides
-    through a max (keys are unique on the orders side; the lineitem side
-    contributes 0, below every real price)."""
-    from ..stages.agg import grouped_aggregate
+
+    The join key is ~unique on the orders side, so a key-groupby would
+    sort-shuffle O(rows) rows across 150k+ groups (measured 14s at sf0.1).
+    Instead both sides co-partition by hash(key) through ONE small-domain
+    groupby (P partitions), and inside each partition the lineitem rows
+    aggregate with a vectorized lexsort+reduceat and attach to orders via
+    searchsorted — same shape as the as-of join.  sum_qty sums integral
+    doubles (quantities), exact in fp under any association, so the SQL
+    sum matches bit-for-bit."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
 
     def order_side(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        key = batch.column("o_orderkey").to_numpy().astype(np.int64)
         return pa.table({
-            "o_orderkey": batch.column("o_orderkey"),
+            "part": pa.array(_hash_part(key, P), type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
             "o_totalprice": batch.column("o_totalprice"),
-            "is_order": pa.array(np.ones(n, dtype=np.int64)),
-            "n_items": pa.array(np.zeros(n, dtype=np.int64)),
-            "sum_qty": pa.array(np.zeros(n, dtype=np.float64)),
+            "qty": pa.nulls(batch.num_rows, pa.float64()),
         })
 
     def line_side(batch: pa.Table) -> pa.Table:
-        gb = pa.table({
-            "o_orderkey": batch.column("l_orderkey"),
-            "q": batch.column("l_quantity"),
-        }).group_by(["o_orderkey"]).aggregate([("q", "count"), ("q", "sum")])
-        n = gb.num_rows
+        key = batch.column("l_orderkey").to_numpy().astype(np.int64)
         return pa.table({
-            "o_orderkey": gb.column("o_orderkey"),
-            "o_totalprice": pa.array(np.zeros(n, dtype=np.float64)),
-            "is_order": pa.array(np.zeros(n, dtype=np.int64)),
-            "n_items": pc.cast(gb.column("q_count"), pa.int64()),
-            "sum_qty": gb.column("q_sum"),
+            "part": pa.array(_hash_part(key, P), type=pa.int64()),
+            "key": pa.array(key, type=pa.int64()),
+            "o_totalprice": pa.nulls(batch.num_rows, pa.float64()),
+            "qty": batch.column("l_quantity"),
         })
 
     orders = ray.data.read_parquet(
@@ -2502,19 +2500,40 @@ def q_order_fulfillment(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     ).map_batches(line_side, batch_format="pyarrow", zero_copy_batch=True)
 
-    joined = grouped_aggregate(
-        orders.union(lines),
-        ["o_orderkey"],
-        [("max", "is_order", "has_order"), ("max", "o_totalprice", "o_totalprice"),
-         ("sum", "n_items", "n_items"), ("sum", "sum_qty", "sum_qty")],
+    def join_group(group: pa.Table) -> pa.Table:
+        is_order = pc.is_valid(group.column("o_totalprice"))
+        o = group.filter(is_order)
+        l = group.filter(pc.invert(is_order))
+        okey = o.column("key").to_numpy().astype(np.int64)
+        price = o.column("o_totalprice").to_numpy()
+        lkey = l.column("key").to_numpy().astype(np.int64)
+        qty = l.column("qty").to_numpy()
+        order = np.argsort(lkey, kind="stable")
+        lkey, qty = lkey[order], qty[order]
+        starts = np.flatnonzero(np.r_[True, lkey[1:] != lkey[:-1]]) \
+            if len(lkey) else np.empty(0, dtype=np.int64)
+        uniq = lkey[starts] if len(lkey) else lkey
+        cnts = (np.r_[starts[1:], len(lkey)] - starts) if len(lkey) else starts
+        sums = np.add.reduceat(qty, starts) if len(lkey) else qty
+        idx = np.searchsorted(uniq, okey)
+        hit = (idx < len(uniq))
+        hit[hit] &= uniq[idx[hit]] == okey[hit]
+        n_items = np.zeros(len(okey), dtype=np.int64)
+        sum_qty = np.zeros(len(okey), dtype=np.float64)
+        n_items[hit] = cnts[idx[hit]]
+        sum_qty[hit] = sums[idx[hit]]
+        return pa.table({
+            "o_orderkey": pa.array(okey, type=pa.int64()),
+            "o_totalprice": pa.array(price, type=pa.float64()),
+            "n_items": pa.array(n_items, type=pa.int64()),
+            "sum_qty": pa.array(sum_qty, type=pa.float64()),
+        })
+
+    return (
+        coalesce_for_shuffle(orders.union(lines))
+        .groupby("part")
+        .map_groups(join_group, batch_format="pyarrow")
     )
-
-    def left(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch.column("has_order"), 1)).select(
-            ["o_orderkey", "o_totalprice", "n_items", "sum_qty"]
-        )
-
-    return joined.map_batches(left, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_ORDER_FULFILLMENT = """

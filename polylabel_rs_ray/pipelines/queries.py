@@ -2878,6 +2878,32 @@ SQL_REVENUE_BY_REGION = """
 """
 
 
+def q_video_frame_stats(sf_dir: str):
+    """Frame-sampling plumbing end-to-end: docs -> media-span explode ->
+    FrameSampler actor pool (sample + resize, fake decode per the stub
+    policy) -> per-doc frame count and payload bytes through the map-side
+    combine.  Rows-only: the spans are synthesized engine-side, so no SQL
+    view of them exists (pytest pins counts and payload sizes)."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.media import frame_pipeline
+
+    frames = frame_pipeline(sf_dir)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_num": batch.column("doc_num"),
+            "frame_bytes": pc.cast(
+                pc.binary_length(batch.column("frame")), pa.int64()
+            ),
+        })
+
+    return grouped_aggregate(
+        frames.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_num"],
+        [("count", None, "n_frames"), ("sum", "frame_bytes", "total_bytes")],
+    )
+
+
 HLL_P = 12  # 4096 registers -> ~1.6% typical relative error
 
 
@@ -3012,6 +3038,7 @@ def build_queries() -> dict:
         "approx_distinct_users": q_approx_distinct_users,
         "view_only_hours": q_view_only_hours,
         "revenue_by_region": q_revenue_by_region,
+        "video_frame_stats": q_video_frame_stats,
     }
 
 

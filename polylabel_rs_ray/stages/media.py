@@ -88,3 +88,74 @@ def media_pipeline(sf_dir: str, *, concurrency: int = 2):
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+class FrameSampler:
+    """Actor-pool stage: video span -> N sampled frame rows, resized.
+
+    The video-decode hook mirrors MediaFeaturizer: ``decode="real"`` is
+    where ffmpeg/pyav frame extraction plugs in (absent here, raises);
+    ``decode="fake"`` synthesizes a deterministic width*height*3 RGB
+    payload per (media_ref, frame_idx).  The Ray-side plumbing is real:
+    one row per sampled frame, an opaque ``binary`` payload column with
+    typed metadata, and the stage is meant to run with a SMALL batch_size
+    (frames are width*height*3 bytes each; batch x concurrency must fit
+    the worker heap — at real resolutions use batch_size<=64)."""
+
+    def __init__(self, n_frames: int = 4, width: int = 32, height: int = 18,
+                 decode: str = "fake"):
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        self.n_frames = n_frames
+        self.width = width
+        self.height = height
+        self.decode = decode
+
+    def _frame(self, ref: str, idx: int) -> bytes:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/pyav absent from this "
+                "environment; the fake path preserves schema and plumbing"
+            )
+        need = self.width * self.height * 3
+        seed = hashlib.blake2b(f"{ref}:{idx}".encode(), digest_size=32).digest()
+        reps = -(-need // len(seed))
+        return (seed * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.filter(pc.equal(batch.column("kind"), "video"))
+        n = vids.num_rows
+        doc_num = np.repeat(vids.column("doc_num").to_numpy(), self.n_frames)
+        span_off = np.repeat(vids.column("span_offset").to_numpy(), self.n_frames)
+        refs = vids.column("media_ref").to_pylist()
+        frame_idx = np.tile(np.arange(self.n_frames, dtype=np.int64), n)
+        payloads = [
+            self._frame(refs[i] or "", j)
+            for i in range(n) for j in range(self.n_frames)
+        ]
+        return pa.table({
+            "doc_num": pa.array(doc_num, type=pa.int64()),
+            "span_offset": pa.array(span_off, type=pa.int64()),
+            "frame_idx": pa.array(frame_idx, type=pa.int64()),
+            "width": pa.array(np.full(len(payloads), self.width), type=pa.int32()),
+            "height": pa.array(np.full(len(payloads), self.height), type=pa.int32()),
+            "frame": pa.array(payloads, type=pa.binary()),
+        })
+
+
+def frame_pipeline(sf_dir: str, *, n_frames: int = 4, concurrency: int = 2):
+    """docs -> explode media spans -> sample+resize frames (actor pool,
+    small batches for the binary payloads)."""
+    from ..sources.docs import read_docs
+
+    ds = read_docs(sf_dir)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "decode": "fake"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,  # frames explode rows x W*H*3 bytes; keep batches small
+        concurrency=concurrency,
+    )

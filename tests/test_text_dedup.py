@@ -148,6 +148,33 @@ def test_media_pipeline(ray_session):
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(decode="real")._featurize("media://1/0")
 
+def test_frame_sampler_pipeline(ray_session):
+    from polylabel_rs_ray.stages.media import FrameSampler, frame_pipeline, explode_media_spans
+    from polylabel_rs_ray.sources.docs import read_docs
+    from polylabel_rs_ray.pipelines.queries import q_video_frame_stats
+
+    frames = frame_pipeline(SF, n_frames=3).to_pandas()
+    # one row per (video span, frame); payloads are resized RGB bytes
+    media = read_docs(SF).map_batches(
+        explode_media_spans, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n_videos = (media.kind == "video").sum()
+    assert len(frames) == 3 * n_videos > 0
+    assert frames.frame.map(len).eq(32 * 18 * 3).all()
+    assert frames.frame_idx.between(0, 2).all()
+    # deterministic payloads
+    fs = FrameSampler(n_frames=1)
+    assert fs._frame("media://1/0", 0) == fs._frame("media://1/0", 0)
+    assert fs._frame("media://1/0", 0) != fs._frame("media://1/0", 1)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        FrameSampler(decode="real")._frame("x", 0)
+    # the registered rows-only query aggregates per doc
+    stats = q_video_frame_stats(SF).to_pandas()
+    assert stats.n_frames.sum() == 4 * n_videos  # default n_frames=4
+    assert (stats.total_bytes == stats.n_frames * 32 * 18 * 3).all()
+
+
 def test_minhash_partitioned_equals_single_task(ray_session):
     """The bucket-hash-partitioned candidate/verify path must produce the
     exact pair set of the 1-partition path (global dedup via pass-B key)."""

@@ -774,6 +774,7 @@ def polylabel_batch(
         small_slot = {pid: k for k, pid in enumerate(small_ids)}
         large_group = LargeGroup(large_preps) if large_preps else None
         scored = _score_mixed(seeds, states, small_prep, small_slot, large_group)
+        heap_cells: dict[int, list[tuple[float, float, float, float]]] = {}
         for i, cx, cy, h, d in _drain_scored(seeds, scored):
             st = states[i]
             if h == -2.0:
@@ -787,28 +788,51 @@ def polylabel_batch(
                 else:
                     st.set_best(cen_x, cen_y, cen_d)
             else:
-                st.push(cx, cy, h, d)
+                heap_cells.setdefault(i, []).append((cx, cy, h, d))
 
-        # --- lockstep best-first loop --------------------------------------
-        live = [i for i, st in states.items() if not st.done]
-        while live:
-            requests: list[tuple[int, float, float, float]] = []
-            for i in live:
+        # route each live polygon: vectorized 2D frontier (bounded seed
+        # count) or the scalar heap loop (extreme-aspect seed outliers)
+        vec_ids: list[int] = []
+        scalar_ids: list[int] = []
+        for i, st in states.items():
+            if st.done or i not in heap_cells:
+                continue
+            (vec_ids if len(heap_cells[i]) <= SEED_2D_CAP else scalar_ids).append(i)
+
+        if vec_ids:
+            overflow = _run_vectorized(
+                vec_ids, heap_cells, states, small_prep, small_slot, large_group
+            )
+            scalar_ids.extend(overflow)
+
+        if scalar_ids:
+            for i in scalar_ids:
                 st = states[i]
-                nxt = st.advance()
-                if nxt is not None:
-                    cx, cy, h2 = nxt
-                    # 4 children in reference order (lib.rs:289-301)
-                    requests.append((i, cx - h2, cy - h2, h2))
-                    requests.append((i, cx + h2, cy - h2, h2))
-                    requests.append((i, cx - h2, cy + h2, h2))
-                    requests.append((i, cx + h2, cy + h2, h2))
-            if not requests:
-                break
-            scored = _score_mixed(requests, states, small_prep, small_slot, large_group)
-            for i, cx, cy, h, d in _drain_scored(requests, scored):
-                states[i].push(cx, cy, h, d)
-            live = [i for i in live if not states[i].done]
+                if not st.heap:  # seed (or spilled) cells in seq order
+                    for cx, cy, h, d in heap_cells[i]:
+                        st.push(cx, cy, h, d)
+
+            # --- scalar lockstep best-first loop (fallback path) ----------
+            live = [i for i in scalar_ids if not states[i].done]
+            while live:
+                requests: list[tuple[int, float, float, float]] = []
+                for i in live:
+                    st = states[i]
+                    nxt = st.advance()
+                    if nxt is not None:
+                        cx, cy, h2 = nxt
+                        # 4 children in reference order (lib.rs:289-301)
+                        requests.append((i, cx - h2, cy - h2, h2))
+                        requests.append((i, cx + h2, cy - h2, h2))
+                        requests.append((i, cx - h2, cy + h2, h2))
+                        requests.append((i, cx + h2, cy + h2, h2))
+                if not requests:
+                    break
+                scored = _score_mixed(requests, states, small_prep, small_slot,
+                                      large_group)
+                for i, cx, cy, h, d in _drain_scored(requests, scored):
+                    states[i].push(cx, cy, h, d)
+                live = [i for i in live if not states[i].done]
 
     for i, st in states.items():
         out_x[i] = st.best_x
@@ -858,6 +882,214 @@ def _score_mixed(
 def _drain_scored(cells: list[tuple[int, float, float, float]], d: np.ndarray):
     for k, (pid, cx, cy, h) in enumerate(cells):
         yield pid, cx, cy, h, float(d[k])
+
+
+SEED_2D_CAP = 4096  # polys seeding more cells than this use the scalar heap
+_VEC_BUDGET_CELLS = 32_000_000  # rows x columns ceiling before scalar spill
+_NEG_INF = -np.inf
+
+
+def _run_vectorized(
+    vec_ids: list[int],
+    heap_cells: dict[int, list[tuple[float, float, float, float]]],
+    states: dict[int, "_PolyState"],
+    small_prep: PreparedBatch,
+    small_slot: dict[int, int],
+    large_group: "LargeGroup | None",
+) -> list[int]:
+    """Vectorized lockstep best-first search over a (poly x cell) frontier.
+
+    Replaces the per-cell Python heap with dense 2D arrays: one row per
+    polygon, one column per cell in PUSH order, consumed/pad cells at
+    maxd = -inf.  Correctness rests on two exact equivalences with the
+    reference loop (lib.rs:380-394):
+
+      * pop order is (max max_distance, FIFO ties) — ``np.argmax`` returns
+        the FIRST maximum, and columns are in push (seq) order, so the tie
+        rule is identical to the engine's (-maxd, seq) heap;
+      * once the top cell fails the ``maxd - best <= tol`` prune, EVERY
+        remaining cell fails it too (maxd is non-increasing along pop order
+        while best is non-decreasing), so each advance() is exactly "pop
+        argmax -> subdivide" or "drain the whole heap -> done"; the drain
+        reduces to a masked max with the same first-wins tie rule.
+
+    Updates ``states[pid]`` best/pops/done/err in place.  Returns pids that
+    spilled to the scalar path (memory budget), with their live cells
+    written back into ``heap_cells[pid]`` in seq order."""
+    L = len(vec_ids)
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    tolv = np.array([states[p].tol for p in vec_ids])
+    largev = np.array(
+        [-1 if states[p].large is None else states[p].large for p in vec_ids],
+        dtype=np.int64,
+    )
+    smallv = np.array([small_slot.get(p, -1) for p in vec_ids], dtype=np.int64)
+    counts = np.array([len(heap_cells[p]) for p in vec_ids], dtype=np.int64)
+    C = 1 << int(np.ceil(np.log2(max(int(counts.max()) + 8, 16))))
+
+    def alloc(c):
+        m = np.full((L, c), _NEG_INF)
+        z = np.zeros((L, c))
+        return m, z.copy(), z.copy(), z.copy(), z
+
+    maxd2, d2, cx2, cy2, h2 = alloc(C)
+    for r, p in enumerate(vec_ids):
+        cells = heap_cells[p]
+        n = len(cells)
+        arr = np.asarray(cells)  # (n, 4): cx, cy, h, d
+        cx2[r, :n] = arr[:, 0]
+        cy2[r, :n] = arr[:, 1]
+        h2[r, :n] = arr[:, 2]
+        d2[r, :n] = arr[:, 3]
+        maxd2[r, :n] = arr[:, 3] + arr[:, 2] * SQRT2
+
+    best_d = np.array([states[p].best_d for p in vec_ids])
+    bx = np.array([states[p].best_x for p in vec_ids])
+    by = np.array([states[p].best_y for p in vec_ids])
+    pops = np.zeros(L, dtype=np.int64)
+    err_maxiter = np.zeros(L, dtype=bool)
+    spilled: list[int] = []
+
+    live = np.arange(L)
+    while live.size:
+        rows = live
+        n = len(rows)
+        M = maxd2[rows]
+        k = np.argmax(M, axis=1)  # first max == FIFO tie on seq
+        ar = np.arange(n)
+        mstar = M[ar, k]
+        empty = mstar == _NEG_INF
+        exceed = (~empty) & (pops[rows] + 1 > MAX_POPS)
+        popped = ~empty & ~exceed
+        dstar = d2[rows, k]
+        upd = popped & (dstar > best_d[rows])
+        if upd.any():
+            ur = rows[upd]
+            best_d[ur] = dstar[upd]
+            bx[ur] = cx2[ur, k[upd]]
+            by[ur] = cy2[ur, k[upd]]
+        subdiv = popped & (mstar - best_d[rows] > tolv[rows])
+        drain = popped & ~subdiv
+        maxd2[rows[popped], k[popped]] = _NEG_INF
+        pops[rows[popped]] += 1
+        err_maxiter[rows[exceed]] = True
+
+        dr = rows[drain]
+        if dr.size:
+            av = maxd2[dr] > _NEG_INF
+            n_alive = av.sum(axis=1)
+            over = pops[dr] + n_alive > MAX_POPS
+            norm = dr[~over]
+            if norm.size:
+                dm = np.where(av[~over], d2[norm], _NEG_INF)
+                dmax = dm.max(axis=1)
+                gain = dmax > best_d[norm]
+                if gain.any():
+                    g = norm[gain]
+                    # winner = first cell in pop order with d == dmax:
+                    # max maxd among candidates, tie -> lowest column
+                    key = np.where(d2[g] == dmax[gain][:, None], maxd2[g], _NEG_INF)
+                    kw = np.argmax(key, axis=1)
+                    best_d[g] = dmax[gain]
+                    bx[g] = cx2[g, kw]
+                    by[g] = cy2[g, kw]
+                pops[norm] += n_alive[~over]
+            for r in dr[over]:  # rare: MAX_POPS lands mid-drain
+                acols = np.flatnonzero(maxd2[r] > _NEG_INF)
+                order = acols[np.lexsort((acols, -maxd2[r, acols]))]
+                for c in order:
+                    pops[r] += 1
+                    if pops[r] > MAX_POPS:
+                        err_maxiter[r] = True
+                        break
+                    if d2[r, c] > best_d[r]:
+                        best_d[r] = d2[r, c]
+                        bx[r] = cx2[r, c]
+                        by[r] = cy2[r, c]
+
+        sr = rows[subdiv]
+        if sr.size == 0:
+            break
+        kk = k[subdiv]
+        hh = h2[sr, kk] / 2.0
+        pcx = cx2[sr, kk]
+        pcy = cy2[sr, kk]
+        S = len(sr)
+        px = np.empty(4 * S)
+        py = np.empty(4 * S)
+        # 4 children in reference order (lib.rs:289-301), per-poly contiguous
+        px[0::4] = pcx - hh; px[1::4] = pcx + hh
+        px[2::4] = pcx - hh; px[3::4] = pcx + hh
+        py[0::4] = pcy - hh; py[1::4] = pcy - hh
+        py[2::4] = pcy + hh; py[3::4] = pcy + hh
+        dch = np.empty(4 * S)
+        lg = largev[sr] >= 0
+        if (~lg).any():
+            m4 = np.repeat(~lg, 4)
+            dch[m4] = score_points_flat(
+                px[m4], py[m4], np.repeat(smallv[sr][~lg], 4), small_prep
+            )
+        if lg.any():
+            m4 = np.repeat(lg, 4)
+            dch[m4] = large_group.score(px[m4], py[m4], np.repeat(largev[sr][lg], 4))
+
+        if counts[sr].max() + 4 > C:
+            newC = C * 2
+            if newC * L > _VEC_BUDGET_CELLS:
+                # spill remaining live rows to the scalar heap path
+                for r in sr:
+                    p = int(ids[r])
+                    st = states[p]
+                    st.best_d, st.best_x, st.best_y = best_d[r], bx[r], by[r]
+                    st.pops = int(pops[r])
+                    acols = np.flatnonzero(maxd2[r] > _NEG_INF)
+                    heap_cells[p] = [
+                        (cx2[r, c], cy2[r, c], h2[r, c], d2[r, c]) for c in acols
+                    ]
+                    # plus this round's children, pushed after existing cells
+                    j = np.flatnonzero(sr == r)[0]
+                    for t in range(4):
+                        heap_cells[p].append(
+                            (px[4 * j + t], py[4 * j + t], hh[j], dch[4 * j + t])
+                        )
+                    spilled.append(p)
+                live = np.empty(0, dtype=np.int64)
+                sr = live
+                break
+            grow = lambda a, fill: np.concatenate(
+                [a, np.full((L, newC - C), fill)], axis=1
+            )
+            maxd2 = grow(maxd2, _NEG_INF)
+            d2 = grow(d2, 0.0)
+            cx2 = grow(cx2, 0.0)
+            cy2 = grow(cy2, 0.0)
+            h2 = grow(h2, 0.0)
+            C = newC
+        base = counts[sr]
+        rowr = np.repeat(sr, 4)
+        colf = (base[:, None] + np.arange(4)[None, :]).ravel()
+        cx2[rowr, colf] = px
+        cy2[rowr, colf] = py
+        h2[rowr, colf] = np.repeat(hh, 4)
+        d2[rowr, colf] = dch
+        maxd2[rowr, colf] = dch + np.repeat(hh, 4) * SQRT2
+        counts[sr] += 4
+        live = sr
+
+    # sync results back (spilled rows were synced at spill time)
+    spilled_set = set(spilled)
+    for r, p in enumerate(vec_ids):
+        if p in spilled_set:
+            continue
+        st = states[p]
+        st.best_d = float(best_d[r])
+        st.best_x = float(bx[r])
+        st.best_y = float(by[r])
+        st.pops = int(pops[r])
+        st.done = True
+        if err_maxiter[r]:
+            st.err = ERR_MAXITER
+    return spilled
 
 
 def polylabel_one(

@@ -2904,6 +2904,62 @@ def q_video_frame_stats(sf_dir: str):
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_doc_chunks(sf_dir: str):
+    """Document chunking (the sequence-windowing op of a training
+    pipeline): each doc explodes into fixed-size token windows with
+    overlap — a one-to-many flat map, vectorized with repeat/arange (no
+    per-doc Python).  n_chunks = ceil(max(n_tokens - overlap, 1) / stride)
+    so every token is covered and a doc shorter than one window still
+    yields one chunk.  Exact integer arithmetic on both sides."""
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), pattern=r"\S+"), pa.int64()
+        ).to_numpy()
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        n_chunks = -(-np.maximum(n - overlap, 1) // CHUNK_STRIDE)
+        doc_rep = np.repeat(did, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        starts = np.zeros(int(n_chunks.sum()), dtype=np.int64)
+        seg = np.zeros(len(did), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=seg[1:])
+        idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - seg[np.repeat(
+            np.arange(len(did)), n_chunks)]
+        starts = idx * CHUNK_STRIDE
+        return pa.table({
+            "doc_id": pa.array(doc_rep, type=pa.int64()),
+            "chunk_idx": pa.array(idx, type=pa.int64()),
+            "start_tok": pa.array(starts, type=pa.int64()),
+            "end_tok": pa.array(np.minimum(starts + CHUNK_TOKENS, n_rep),
+                                type=pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_CHUNKS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(k * 48 AS BIGINT) AS start_tok,
+           CAST(LEAST(k * 48 + 64, n) AS BIGINT) AS end_tok
+    FROM t, LATERAL (
+        SELECT unnest(generate_series(
+            0, CAST(CEIL(GREATEST(n - 16, 1) / 48.0) AS BIGINT) - 1)) AS k
+    )
+"""
+
+
 HLL_P = 12  # 4096 registers -> ~1.6% typical relative error
 
 
@@ -3039,6 +3095,7 @@ def build_queries() -> dict:
         "view_only_hours": q_view_only_hours,
         "revenue_by_region": q_revenue_by_region,
         "video_frame_stats": q_video_frame_stats,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -3089,6 +3146,7 @@ def build_oracles() -> dict:
         "user_event_pivot": SQL_USER_EVENT_PIVOT,
         "median_value_per_type": SQL_MEDIAN_VALUE_PER_TYPE,
         "view_only_hours": SQL_VIEW_ONLY_HOURS,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)

@@ -176,3 +176,16 @@ def test_set_op_and_multiway_join_match_duckdb(ray_session):
     # every order lands in exactly one region
     n_orders = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert rev["n_orders"].sum() == n_orders
+
+
+def test_doc_chunks_match_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import SQL_DOC_CHUNKS, q_doc_chunks
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    d = _compare(q_doc_chunks, SQL_DOC_CHUNKS, con)
+    # windowing invariants: full coverage with 16-token overlap
+    assert (d["end_tok"] - d["start_tok"] <= 64).all()
+    assert (d.groupby("doc_id")["chunk_idx"].min() == 0).all()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert d["doc_id"].nunique() == n_docs  # every doc yields >= 1 chunk

@@ -3039,6 +3039,481 @@ def q_approx_distinct_users(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# round-2 continuation batch 2: self-join co-occurrence, funnel, CUBE,
+# tile pyramid, distributed exact moments, grouped string aggregation
+# --------------------------------------------------------------------------
+
+def q_part_pair_counts(sf_dir: str, n_parts: int | None = None):
+    """Self-join co-occurrence: for every pair of lineitem rows in the same
+    order with ``part_a < part_b``, count the pair.  Market-basket shape.
+
+    Distributed form: co-partition lineitem by ``hash(l_orderkey)`` (an
+    order's rows always land together), generate the intra-order pairs
+    VECTORIZED inside each partition (per-order fan-out is tiny — avg ~4
+    rows/order — so pair volume is ~O(rows)), then a map-side-combined
+    groupby on (part_a, part_b) counts pairs globally.  No O(rows) sort
+    shuffle on the ~unique order key anywhere."""
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    def to_parts(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_hash_part(key, P), type=pa.int64()),
+            "okey": pa.array(key, type=pa.int64()),
+            "pkey": batch.column("l_partkey"),
+        })
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        okey = group.column("okey").to_numpy().astype(np.int64)
+        pkey = group.column("pkey").to_numpy().astype(np.int64)
+        if len(okey) == 0:
+            return pa.table({
+                "part_a": pa.array([], type=pa.int64()),
+                "part_b": pa.array([], type=pa.int64()),
+                "n_pairs": pa.array([], type=pa.int64()),
+            })
+        order = np.lexsort((pkey, okey))
+        okey, pkey = okey[order], pkey[order]
+        # segment start index for each row's order group
+        new_seg = np.r_[True, okey[1:] != okey[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(okey)), 0))
+        # row j pairs with every earlier row i of its segment (i < j);
+        # concatenated-ranges trick: i = local offset + segment start
+        cnt = np.arange(len(okey)) - seg_start          # pairs with j as 2nd elem
+        j = np.repeat(np.arange(len(okey)), cnt)
+        total = int(cnt.sum())
+        csum = np.r_[0, np.cumsum(cnt)]
+        i = np.arange(total) - np.repeat(csum[:-1], cnt) + np.repeat(seg_start, cnt)
+        pa_, pb_ = pkey[i], pkey[j]
+        keep = pa_ != pb_  # strict part_a < part_b excludes equal-part row pairs
+        lo = np.minimum(pa_[keep], pb_[keep])
+        hi = np.maximum(pa_[keep], pb_[keep])
+        # partition-local combine so the global shuffle carries unique pairs
+        t = pa.table({"part_a": lo, "part_b": hi}).group_by(
+            ["part_a", "part_b"]).aggregate([("part_a", "count")])
+        return pa.table({
+            "part_a": t.column("part_a"),
+            "part_b": t.column("part_b"),
+            "n_pairs": pc.cast(t.column("part_a_count"), pa.int64()),
+        })
+
+    from ..stages.agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(to_parts, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = (
+        coalesce_for_shuffle(ds)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+    )
+    return grouped_aggregate(pairs, ["part_a", "part_b"],
+                             [("sum", "n_pairs", "n_pairs")])
+
+
+SQL_PART_PAIR_COUNTS = """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+"""
+
+
+def q_conversion_funnel(sf_dir: str):
+    """Ordered-sequence (funnel) detection: users whose FIRST view precedes
+    their FIRST click precedes their FIRST purchase.  Two map-side-combined
+    aggregations: (1) per-user min timestamp per stage (sentinel-encoded so
+    min() is null-free), (2) a constant-size count reduce over the per-user
+    rows.  The shuffle carries one row per (user x block), then one row per
+    block — nothing scales with event volume."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    SENT = np.int64(2**62)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def stage_cols(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        et = batch.column("event_type")
+        out = {"user_id": batch.column("user_id")}
+        for name in ("view", "click", "purchase"):
+            is_stage = pc.equal(et, name).to_numpy(zero_copy_only=False)
+            out[f"t_{name}"] = pa.array(
+                np.where(is_stage, ts, SENT), type=pa.int64())
+        return pa.table(out)
+
+    per_user = grouped_aggregate(
+        ds.map_batches(stage_cols, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("min", "t_view", "tv"), ("min", "t_click", "tc"),
+         ("min", "t_purchase", "tp")],
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tv = batch.column("tv").to_numpy()
+        tc = batch.column("tc").to_numpy()
+        tp = batch.column("tp").to_numpy()
+        has_v = tv < SENT
+        vc = has_v & (tc < SENT) & (tv < tc)
+        vcp = vc & (tp < SENT) & (tc < tp)
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n_view": pa.array([int(has_v.sum())], type=pa.int64()),
+            "n_view_click": pa.array([int(vc.sum())], type=pa.int64()),
+            "n_view_click_purchase": pa.array([int(vcp.sum())], type=pa.int64()),
+        })
+
+    def drop_key(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_k"])
+
+    return grouped_aggregate(
+        per_user.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["_k"],
+        [("sum", "n_view", "n_view"),
+         ("sum", "n_view_click", "n_view_click"),
+         ("sum", "n_view_click_purchase", "n_view_click_purchase")],
+    ).map_batches(drop_key, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CONVERSION_FUNNEL = """
+    WITH m AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view')     AS tv,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS tc,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS tp
+      FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL AND tc IS NOT NULL
+                                 AND tv < tc) AS BIGINT) AS n_view_click,
+           CAST(COUNT(*) FILTER (WHERE tv IS NOT NULL AND tc IS NOT NULL
+                                 AND tp IS NOT NULL AND tv < tc AND tc < tp)
+                AS BIGINT) AS n_view_click_purchase
+    FROM m
+"""
+
+
+def _sales_level0(sf_dir: str):
+    """Shared finest-level (returnflag x linestatus) sales aggregate — the
+    one fact-table pass that ROLLUP and CUBE levels re-aggregate."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "l_quantity": batch.column("l_quantity"),
+            "revenue_cents": cents,
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        [("sum", "l_quantity", "sum_qty"), ("sum", "revenue_cents", "revenue_cents"),
+         ("count", None, "n_items")],
+    )
+
+
+_SALES_RESPEC = [("sum", "sum_qty", "sum_qty"),
+                 ("sum", "revenue_cents", "revenue_cents"),
+                 ("sum", "n_items", "n_items")]
+
+
+def _sales_mask_level(level0, keep: list[str]):
+    """Re-aggregate the finest sales level with the non-kept dimension(s)
+    masked to the 'ALL' marker."""
+    from ..stages.agg import grouped_aggregate
+
+    dims = ["l_returnflag", "l_linestatus"]
+
+    def mask(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for d in dims:
+            cols[d] = (batch.column(d) if d in keep
+                       else pa.array(["ALL"] * batch.num_rows, type=pa.string()))
+        for c in ("sum_qty", "revenue_cents", "n_items"):
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    masked = level0.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+    key = keep if keep else ["l_returnflag", "l_linestatus"]
+    out = grouped_aggregate(masked, key, _SALES_RESPEC)
+    if keep == ["l_returnflag"]:
+        def put_back(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+                "sum_qty": batch.column("sum_qty"),
+                "revenue_cents": batch.column("revenue_cents"),
+                "n_items": batch.column("n_items"),
+            })
+        out = out.map_batches(put_back, batch_format="pyarrow", zero_copy_batch=True)
+    elif keep == ["l_linestatus"]:
+        def put_back2(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_returnflag": pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum_qty"),
+                "revenue_cents": batch.column("revenue_cents"),
+                "n_items": batch.column("n_items"),
+            })
+        out = out.map_batches(put_back2, batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
+def q_cube_sales(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets from
+    ONE fact-table pass — the three coarser levels re-aggregate the
+    |groups|-row finest level, so adding grouping sets costs nothing at
+    scale.  Same integer-cents exactness discipline as rollup_sales."""
+    level0 = _sales_level0(sf_dir).materialize()  # |groups| rows, reused 3x
+    lvl_rf = _sales_mask_level(level0, ["l_returnflag"])
+    lvl_ls = _sales_mask_level(level0, ["l_linestatus"])
+    lvl_all = _sales_mask_level(level0, [])
+    return level0.union(lvl_rf).union(lvl_ls).union(lvl_all)
+
+
+SQL_CUBE_SALES = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Hierarchical tile rollup (a tile pyramid): per-tile label counts at
+    the render resolution, then each coarser zoom level re-aggregates the
+    PREVIOUS level by morton parent (`cell_parent` bit-shift — no
+    re-reading, no re-labeling, no coordinate recompute).  The classic
+    z -> z-1 pyramid build: every level after the finest costs
+    O(tiles), not O(points)."""
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.agg import grouped_aggregate
+    from ..stages.cells import CellEncoder, cell_parent
+
+    ds = _dyadic_labeled(sf_dir).map_batches(
+        CellEncoder,
+        fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES,
+                               "tile_res": DEFAULT_TILE_RES},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    level = grouped_aggregate(
+        ds, ["tile_id"], [("count", None, "n_points")]
+    ).materialize()  # |tiles at z| rows
+
+    def with_res(res):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "res": pa.array([res] * batch.num_rows, type=pa.int64()),
+                "tile_id": batch.column("tile_id"),
+                "n_points": batch.column("n_points"),
+            })
+        return f
+
+    out = level.map_batches(with_res(DEFAULT_TILE_RES), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    for res in range(DEFAULT_TILE_RES - 1, DEFAULT_TILE_RES - 3, -1):
+        def reparent(batch: pa.Table, res=res) -> pa.Table:
+            tid = batch.column("tile_id").to_numpy().astype(np.int64)
+            return pa.table({
+                "tile_id": pa.array(cell_parent(tid, res), type=pa.int64()),
+                "n_points": batch.column("n_points"),
+            })
+        level = grouped_aggregate(
+            level.map_batches(reparent, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            ["tile_id"],
+            [("sum", "n_points", "n_points")],
+        ).materialize()
+        out = out.union(level.map_batches(with_res(res), batch_format="pyarrow",
+                                          zero_copy_batch=True))
+    return out
+
+
+def _sql_tile_pyramid() -> str:
+    from ..config import DEFAULT_TILE_RES
+    from ..stages.cells import sql_cell_id_expr
+
+    selects = []
+    for res in range(DEFAULT_TILE_RES, DEFAULT_TILE_RES - 3, -1):
+        tile = sql_cell_id_expr("label_x", "label_y", res)
+        selects.append(
+            f"SELECT CAST({res} AS BIGINT) AS res, {tile} AS tile_id, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_points FROM labels GROUP BY 1, 2"
+        )
+    u = " UNION ALL ".join(selects)
+    return f"WITH labels AS ({_sql_dyadic_labels_cte()}) {u}"
+
+
+def q_price_discount_corr(sf_dir: str):
+    """Distributed EXACT second-moment statistics + Pearson correlation of
+    extendedprice (cents) vs discount (percent units).  Per-batch partials
+    accumulate the six moment sums (n, Σx, Σy, Σx², Σy², Σxy) as EXACT
+    arbitrary-precision integers (int64 per-row products, Python-int
+    across chunk sums — Σx² overflows int64 past ~80k rows/batch),
+    shipped as decimal strings; one constant-size final reduce merges them
+    and derives corr.  The moment row is bit-exact vs the SQL HUGEINT
+    sums; corr is reported as integer microunits so the driver's value
+    hash is float-rounding-proof."""
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_discount"]
+    )
+
+    CHUNK = 50_000  # int64-safe: 50k rows x (1.1e7 cents)^2 < 2^63
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)),
+                    pa.int64()).to_numpy()
+        y = pc.cast(pc.round(pc.multiply(batch.column("l_discount"), 100.0)),
+                    pa.int64()).to_numpy()
+        n = len(x)
+        sx = sy = sxx = syy = sxy = 0
+        for s in range(0, n, CHUNK):
+            cx, cy = x[s:s + CHUNK], y[s:s + CHUNK]
+            sx += int(cx.sum()); sy += int(cy.sum())
+            sxx += int((cx * cx).sum()); syy += int((cy * cy).sum())
+            sxy += int((cx * cy).sum())
+        return pa.table({
+            "_k": pa.array([0], type=pa.int64()),
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([str(sx)]), "sy": pa.array([str(sy)]),
+            "sxx": pa.array([str(sxx)]), "syy": pa.array([str(syy)]),
+            "sxy": pa.array([str(sxy)]),
+        })
+
+    def final(group: pa.Table) -> pa.Table:
+        n = int(pc.sum(group.column("n")).as_py())
+        sx = sum(int(v) for v in group.column("sx").to_pylist())
+        sy = sum(int(v) for v in group.column("sy").to_pylist())
+        sxx = sum(int(v) for v in group.column("sxx").to_pylist())
+        syy = sum(int(v) for v in group.column("syy").to_pylist())
+        sxy = sum(int(v) for v in group.column("sxy").to_pylist())
+        # identical double expression to the SQL oracle (same op order)
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = np.sqrt(float(n) * float(sxx) - float(sx) * float(sx)) * \
+            np.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+        corr_micro = int(np.round(num / den * 1e6))
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([str(sx)]), "sy": pa.array([str(sy)]),
+            "sxx": pa.array([str(sxx)]), "syy": pa.array([str(syy)]),
+            "sxy": pa.array([str(sxy)]),
+            "corr_micro": pa.array([corr_micro], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_k")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+SQL_PRICE_DISCOUNT_CORR = """
+    WITH t AS (
+      SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS x,
+             CAST(ROUND(l_discount*100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM t)
+    SELECT n,
+           CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+           CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+           CAST(sxy AS VARCHAR) AS sxy,
+           CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS corr_micro
+    FROM s
+"""
+
+
+def q_event_types_per_user(sf_dir: str, n_parts: int | None = None):
+    """Grouped ordered string aggregation: the sorted distinct event types
+    each user has produced, comma-joined.  The pair-dedup level is a
+    map-side-combined groupby (shuffle carries unique (user, type) pairs
+    per block), then pairs co-partition by hash(user) and each partition
+    emits its users' joined strings from one lexsort — no per-user task,
+    no global sort."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    pairs = grouped_aggregate(ds, ["user_id", "event_type"],
+                              [("count", None, "_n")])
+
+    def to_parts(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "part": pa.array(_hash_part(uid, P), type=pa.int64()),
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+        })
+
+    def join_types(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        et = group.column("event_type").to_pandas().to_numpy()
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:], len(uid)]
+        users = uid[starts]
+        joined = [",".join(et[s:e]) for s, e in zip(starts, ends)]
+        return pa.table({
+            "user_id": pa.array(users, type=pa.int64()),
+            "types": pa.array(joined, type=pa.string()),
+        })
+
+    return (
+        coalesce_for_shuffle(
+            pairs.map_batches(to_parts, batch_format="pyarrow",
+                              zero_copy_batch=True))
+        .groupby("part")
+        .map_groups(join_types, batch_format="pyarrow")
+    )
+
+
+SQL_EVENT_TYPES_PER_USER = """
+    SELECT user_id,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types
+    FROM events GROUP BY user_id
+"""
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -3096,6 +3571,12 @@ def build_queries() -> dict:
         "revenue_by_region": q_revenue_by_region,
         "video_frame_stats": q_video_frame_stats,
         "doc_chunks": q_doc_chunks,
+        "part_pair_counts": q_part_pair_counts,
+        "conversion_funnel": q_conversion_funnel,
+        "cube_sales": q_cube_sales,
+        "tile_pyramid": q_tile_pyramid,
+        "price_discount_corr": q_price_discount_corr,
+        "event_types_per_user": q_event_types_per_user,
     }
 
 
@@ -3148,6 +3629,12 @@ def build_oracles() -> dict:
         "view_only_hours": SQL_VIEW_ONLY_HOURS,
         "doc_chunks": SQL_DOC_CHUNKS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
+        "part_pair_counts": SQL_PART_PAIR_COUNTS,
+        "conversion_funnel": SQL_CONVERSION_FUNNEL,
+        "cube_sales": SQL_CUBE_SALES,
+        "tile_pyramid": _sql_tile_pyramid(),
+        "price_discount_corr": SQL_PRICE_DISCOUNT_CORR,
+        "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

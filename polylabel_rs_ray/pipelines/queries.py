@@ -3514,6 +3514,52 @@ SQL_EVENT_TYPES_PER_USER = """
 """
 
 
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured field extraction + aggregate: parse the integer `k`
+    field out of the JSON `props` string column with ONE vectorized arrow
+    C++ regex kernel (`pc.extract_regex` — no per-row json.loads), then a
+    map-side-combined groupby per event type.  The parse is a stateless
+    stage; unparseable rows become NULL and are excluded from the k-stats
+    but still counted (`n_events` vs `n_with_k`)."""
+    from ..stages.agg import grouped_aggregate
+
+    ray = _ray()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, 0), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+            "has_k": pc.cast(pc.is_valid(k), pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("count", None, "n_events"), ("sum", "has_k", "n_with_k"),
+         ("sum", "k", "sum_k"), ("min", "k", "min_k"), ("max", "k", "max_k")],
+    )
+
+
+SQL_PROPS_VALUE_STATS = r"""
+    WITH t AS (
+      SELECT event_type,
+             TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                      AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM t GROUP BY event_type
+"""
+
+
 def build_queries() -> dict:
     return {
         "label_dyadic": q_label_dyadic,
@@ -3577,6 +3623,7 @@ def build_queries() -> dict:
         "tile_pyramid": q_tile_pyramid,
         "price_discount_corr": q_price_discount_corr,
         "event_types_per_user": q_event_types_per_user,
+        "props_value_stats": q_props_value_stats,
     }
 
 
@@ -3635,6 +3682,7 @@ def build_oracles() -> dict:
         "tile_pyramid": _sql_tile_pyramid(),
         "price_discount_corr": SQL_PRICE_DISCOUNT_CORR,
         "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
+        "props_value_stats": SQL_PROPS_VALUE_STATS,
         # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
         # rows-only (not SQL-expressible)
     }

@@ -103,6 +103,18 @@ def test_price_discount_corr_matches_duckdb(ray_session):
     assert abs(d["corr_micro"].iloc[0] / 1e6 - ref) < 2e-6
 
 
+def test_props_value_stats_matches_duckdb(ray_session):
+    from polylabel_rs_ray.pipelines.queries import (
+        SQL_PROPS_VALUE_STATS,
+        q_props_value_stats,
+    )
+
+    con = _con("events")
+    d = _compare(q_props_value_stats, SQL_PROPS_VALUE_STATS, con)
+    assert (d["n_with_k"] <= d["n_events"]).all()
+    assert (d["min_k"] <= d["max_k"]).all()
+
+
 def test_event_types_per_user_matches_duckdb(ray_session):
     from polylabel_rs_ray.pipelines.queries import (
         SQL_EVENT_TYPES_PER_USER,

@@ -3561,7 +3561,10 @@ SQL_PROPS_VALUE_STATS = r"""
 
 
 def build_queries() -> dict:
+    from .queries_ext import build_queries_ext
+
     return {
+        **build_queries_ext(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3628,7 +3631,10 @@ def build_queries() -> dict:
 
 
 def build_oracles() -> dict:
+    from .queries_ext import build_oracles_ext
+
     return {
+        **build_oracles_ext(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -551,6 +551,144 @@ def q_tfidf_top_terms(sf_dir: str):
     )
 
 
+def q_tfidf_top_terms_dist(sf_dir: str, n_parts: int | None = None):
+    """Fully-distributed TF-IDF — same output (and same SQL oracle) as
+    ``q_tfidf_top_terms``, but with NO broadcast vocabulary: the honest
+    100-TB path when the vocabulary itself outgrows a worker.
+
+    Two co-partitioned shuffles: (1) per-doc tf rows and the df table
+    union-partitioned by term hash, joined per partition with a sorted
+    probe; (2) the scored rows re-partitioned by doc hash for the per-doc
+    top-k.  The df table is pre-filtered to df >= 5 before it ever
+    shuffles.  Pinned equal to the broadcast path by pytest."""
+    import pyarrow.parquet as pq
+
+    from ..functions.dedup import _tok8_array
+    from ..stages.agg import grouped_aggregate
+    from ..stages.util import coalesce_for_shuffle
+
+    ray = _ray()
+    P = _P(n_parts)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        flat, off = tokens_flat(batch.column("text"))
+        did = np.repeat(
+            batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
+        )
+        pairs = pa.table({"doc": pa.array(did), "term": flat})
+        dist = pairs.group_by(["doc", "term"]).aggregate([])
+        out = dist.group_by(["term"]).aggregate([("doc", "count")])
+        return pa.table({
+            "term": out.column("term"),
+            "n": pc.cast(out.column("doc_count"), pa.int64()),
+        })
+
+    def _term_part(terms: np.ndarray) -> np.ndarray:
+        return _hash_part(_tok8_array(list(terms)).view(np.int64), P)
+
+    df_side = grouped_aggregate(
+        ds.map_batches(df_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        [("sum", "n", "df")],
+    ).map_batches(
+        lambda b: (lambda t: pa.table({
+            "part": pa.array(
+                _term_part(np.asarray(t.column("term").to_pylist(), dtype=object)),
+                type=pa.int64(),
+            ),
+            "term": t.column("term"),
+            "doc_id": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "tf": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "df": t.column("df"),
+        }))(b.filter(pc.greater_equal(b.column("df"), TFIDF_DF_MIN))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, off = tokens_flat(batch.column("text"))
+        did = np.repeat(
+            batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
+        )
+        pairs = pa.table({"doc_id": pa.array(did), "term": flat})
+        tf_tbl = pairs.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        term = np.asarray(tf_tbl.column("term").to_pylist(), dtype=object)
+        return pa.table({
+            "part": pa.array(_term_part(term), type=pa.int64()),
+            "term": tf_tbl.column("term"),
+            "doc_id": tf_tbl.column("doc_id"),
+            "tf": pc.cast(tf_tbl.column("term_count"), pa.int64()),
+            "df": pa.array(np.zeros(len(term), dtype=np.int64)),
+        })
+
+    tf_side = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_by_term(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy().astype(np.int64)
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        tf = group.column("tf").to_numpy().astype(np.int64)
+        dfv = group.column("df").to_numpy().astype(np.int64)
+        is_df = did == -1
+        vterm, vdf = term[is_df], dfv[is_df]
+        vorder = np.argsort(vterm)
+        vterm, vdf = vterm[vorder], vdf[vorder]
+        pdid, pterm, ptf = did[~is_df], term[~is_df], tf[~is_df]
+        if len(vterm) == 0 or len(pdid) == 0:
+            return pa.table({
+                "part": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            })
+        idx = np.searchsorted(vterm, pterm)
+        idx = np.clip(idx, 0, len(vterm) - 1)
+        hit = vterm[idx] == pterm
+        pdid, pterm, ptf, pdf = pdid[hit], pterm[hit], ptf[hit], vdf[idx[hit]]
+        return pa.table({
+            "part": pa.array(_hash_part(pdid, P), type=pa.int64()),
+            "doc_id": pa.array(pdid, type=pa.int64()),
+            "term": pa.array(pterm, type=pa.string()),
+            "tf": pa.array(ptf, type=pa.int64()),
+            "df": pa.array(pdf, type=pa.int64()),
+        })
+
+    def topk_by_doc(group: pa.Table) -> pa.Table:
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        term = np.asarray(group.column("term").to_pylist(), dtype=object)
+        tf = group.column("tf").to_numpy().astype(np.int64)
+        dfv = group.column("df").to_numpy().astype(np.int64)
+        score = tf.astype(np.float64) * n_docs / dfv
+        order = np.lexsort((term, -score, doc))
+        doc, term, tf, dfv, score = (
+            doc[order], term[order], tf[order], dfv[order], score[order]
+        )
+        new_doc = np.r_[True, doc[1:] != doc[:-1]]
+        idx = np.arange(len(doc), dtype=np.int64)
+        pos = idx - np.maximum.accumulate(np.where(new_doc, idx, 0))
+        k = pos < TFIDF_K
+        return pa.table({
+            "doc_id": pa.array(doc[k], type=pa.int64()),
+            "term": pa.array(term[k], type=pa.string()),
+            "tf": pa.array(tf[k], type=pa.int64()),
+            "df": pa.array(dfv[k], type=pa.int64()),
+            "score": pa.array(score[k], type=pa.float64()),
+        })
+
+    return (
+        coalesce_for_shuffle(tf_side.union(df_side))
+        .groupby("part")
+        .map_groups(join_by_term, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_by_doc, batch_format="pyarrow")
+    )
+
+
 SQL_TFIDF_TOP_TERMS = rf"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
@@ -893,6 +1031,7 @@ def build_queries_ext2() -> dict:
         "priority_rank": q_priority_rank,
         "ntile_values": q_ntile_values,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_top_terms_dist": q_tfidf_top_terms_dist,
         "user_hour_gapfill": q_user_hour_gapfill,
         "big_spenders": q_big_spenders,
         "event_path_trigrams": q_event_path_trigrams,
@@ -906,6 +1045,7 @@ def build_oracles_ext2() -> dict:
         "priority_rank": SQL_PRIORITY_RANK,
         "ntile_values": SQL_NTILE_VALUES,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "tfidf_top_terms_dist": SQL_TFIDF_TOP_TERMS,
         "user_hour_gapfill": SQL_USER_HOUR_GAPFILL,
         "big_spenders": SQL_BIG_SPENDERS,
         "event_path_trigrams": SQL_EVENT_PATH_TRIGRAMS,

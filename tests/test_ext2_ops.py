@@ -198,6 +198,25 @@ def test_tfidf_top_terms_matches_duckdb(ray_session, con):
     )
 
 
+def test_tfidf_dist_matches_broadcast_and_duckdb(ray_session, con):
+    """The no-broadcast-vocabulary TF-IDF (two co-partitioned shuffles)
+    is bit-equal to both the DuckDB oracle and the broadcast path, with
+    more than one term-hash partition actually exercised."""
+    from polylabel_rs_ray.pipelines.queries_ext2 import (
+        SQL_TFIDF_TOP_TERMS,
+        q_tfidf_top_terms,
+        q_tfidf_top_terms_dist,
+    )
+
+    d = _compare(lambda sf: q_tfidf_top_terms_dist(sf, n_parts=4),
+                 SQL_TFIDF_TOP_TERMS, con)
+    b = q_tfidf_top_terms(SF).to_pandas()
+    cols = sorted(d.columns)
+    assert sorted(b.columns) == cols
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert d.equals(b)
+
+
 def test_gapfill_semi_paths_match_duckdb(ray_session, con):
     from polylabel_rs_ray.pipelines.queries_ext2 import (
         SQL_BIG_SPENDERS,

@@ -3565,12 +3565,14 @@ def build_queries() -> dict:
     from .queries_ext2 import build_queries_ext2
     from .queries_ext3 import build_queries_ext3
     from .queries_ext4 import build_queries_ext4
+    from .queries_ext5 import build_queries_ext5
 
     return {
         **build_queries_ext(),
         **build_queries_ext2(),
         **build_queries_ext3(),
         **build_queries_ext4(),
+        **build_queries_ext5(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3641,12 +3643,14 @@ def build_oracles() -> dict:
     from .queries_ext2 import build_oracles_ext2
     from .queries_ext3 import build_oracles_ext3
     from .queries_ext4 import build_oracles_ext4
+    from .queries_ext5 import build_oracles_ext5
 
     return {
         **build_oracles_ext(),
         **build_oracles_ext2(),
         **build_oracles_ext3(),
         **build_oracles_ext4(),
+        **build_oracles_ext5(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

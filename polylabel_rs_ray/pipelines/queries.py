@@ -3566,6 +3566,7 @@ def build_queries() -> dict:
     from .queries_ext3 import build_queries_ext3
     from .queries_ext4 import build_queries_ext4
     from .queries_ext5 import build_queries_ext5
+    from .queries_ext6 import build_queries_ext6
 
     return {
         **build_queries_ext(),
@@ -3573,6 +3574,7 @@ def build_queries() -> dict:
         **build_queries_ext3(),
         **build_queries_ext4(),
         **build_queries_ext5(),
+        **build_queries_ext6(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3644,6 +3646,7 @@ def build_oracles() -> dict:
     from .queries_ext3 import build_oracles_ext3
     from .queries_ext4 import build_oracles_ext4
     from .queries_ext5 import build_oracles_ext5
+    from .queries_ext6 import build_oracles_ext6
 
     return {
         **build_oracles_ext(),
@@ -3651,6 +3654,7 @@ def build_oracles() -> dict:
         **build_oracles_ext3(),
         **build_oracles_ext4(),
         **build_oracles_ext5(),
+        **build_oracles_ext6(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

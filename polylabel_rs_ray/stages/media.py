@@ -143,6 +143,85 @@ class FrameSampler:
         })
 
 
+class AudioChunker:
+    """Actor-pool stage: audio span -> fixed-duration PCM chunk rows.
+
+    Completes the media trio (image featurize / video frame-sample /
+    audio chunk): ``decode="real"`` is the hook for actual waveform
+    decode+resample (torchaudio / soundfile / ffmpeg — absent here,
+    raises); ``decode="fake"`` synthesizes deterministic int16 PCM from
+    blake2b(media_ref, chunk_idx).  Chunk count per clip is derived
+    deterministically from the ref (1..max_chunks), standing in for
+    duration/chunk_len.  Payloads are n_samples*2 bytes each — run with
+    a small batch_size at real sample rates."""
+
+    def __init__(self, sample_rate: int = 16_000, chunk_s: float = 0.25,
+                 max_chunks: int = 4, decode: str = "fake"):
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        self.sample_rate = sample_rate
+        self.n_samples = int(sample_rate * chunk_s)
+        self.max_chunks = max_chunks
+        self.decode = decode
+
+    def _n_chunks(self, ref: str) -> int:
+        h = hashlib.blake2b(ref.encode(), digest_size=2).digest()
+        return 1 + int.from_bytes(h, "little") % self.max_chunks
+
+    def _chunk(self, ref: str, idx: int) -> bytes:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real audio decode requires torchaudio/soundfile absent from "
+                "this environment; the fake path preserves schema and plumbing"
+            )
+        need = self.n_samples * 2  # int16 mono PCM
+        seed = hashlib.blake2b(f"{ref}:{idx}".encode(), digest_size=32).digest()
+        reps = -(-need // len(seed))
+        return (seed * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        auds = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        refs = auds.column("media_ref").to_pylist()
+        counts = np.array([self._n_chunks(r or "") for r in refs], dtype=np.int64)
+        doc_num = np.repeat(auds.column("doc_num").to_numpy(), counts)
+        span_off = np.repeat(auds.column("span_offset").to_numpy(), counts)
+        total = int(counts.sum())
+        seg = np.r_[0, np.cumsum(counts[:-1])] if len(counts) else np.array([], dtype=np.int64)
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(seg, counts)
+        payloads = [
+            self._chunk(refs[i] or "", j)
+            for i in range(len(refs)) for j in range(int(counts[i]))
+        ]
+        return pa.table({
+            "doc_num": pa.array(doc_num, type=pa.int64()),
+            "span_offset": pa.array(span_off, type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+            "sample_rate": pa.array(
+                np.full(total, self.sample_rate), type=pa.int32()
+            ),
+            "n_samples": pa.array(np.full(total, self.n_samples), type=pa.int64()),
+            "pcm": pa.array(payloads, type=pa.binary()),
+        })
+
+
+def audio_pipeline(sf_dir: str, *, concurrency: int = 2):
+    """docs -> explode media spans -> chunk audio (actor pool, small
+    batches for the PCM payloads)."""
+    from ..sources.docs import read_docs
+
+    ds = read_docs(sf_dir)
+    media = ds.map_batches(explode_media_spans, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return media.map_batches(
+        AudioChunker,
+        fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,  # chunks explode rows x n_samples*2 bytes
+        concurrency=concurrency,
+    )
+
+
 def frame_pipeline(sf_dir: str, *, n_frames: int = 4, concurrency: int = 2):
     """docs -> explode media spans -> sample+resize frames (actor pool,
     small batches for the binary payloads)."""

@@ -3567,6 +3567,7 @@ def build_queries() -> dict:
     from .queries_ext4 import build_queries_ext4
     from .queries_ext5 import build_queries_ext5
     from .queries_ext6 import build_queries_ext6
+    from .queries_ext7 import build_queries_ext7
 
     return {
         **build_queries_ext(),
@@ -3575,6 +3576,7 @@ def build_queries() -> dict:
         **build_queries_ext4(),
         **build_queries_ext5(),
         **build_queries_ext6(),
+        **build_queries_ext7(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3647,6 +3649,7 @@ def build_oracles() -> dict:
     from .queries_ext4 import build_oracles_ext4
     from .queries_ext5 import build_oracles_ext5
     from .queries_ext6 import build_oracles_ext6
+    from .queries_ext7 import build_oracles_ext7
 
     return {
         **build_oracles_ext(),
@@ -3655,6 +3658,7 @@ def build_oracles() -> dict:
         **build_oracles_ext4(),
         **build_oracles_ext5(),
         **build_oracles_ext6(),
+        **build_oracles_ext7(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

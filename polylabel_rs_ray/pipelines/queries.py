@@ -3568,6 +3568,7 @@ def build_queries() -> dict:
     from .queries_ext5 import build_queries_ext5
     from .queries_ext6 import build_queries_ext6
     from .queries_ext7 import build_queries_ext7
+    from .queries_ext8 import build_queries_ext8
 
     return {
         **build_queries_ext(),
@@ -3577,6 +3578,7 @@ def build_queries() -> dict:
         **build_queries_ext5(),
         **build_queries_ext6(),
         **build_queries_ext7(),
+        **build_queries_ext8(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3650,6 +3652,7 @@ def build_oracles() -> dict:
     from .queries_ext5 import build_oracles_ext5
     from .queries_ext6 import build_oracles_ext6
     from .queries_ext7 import build_oracles_ext7
+    from .queries_ext8 import build_oracles_ext8
 
     return {
         **build_oracles_ext(),
@@ -3659,6 +3662,7 @@ def build_oracles() -> dict:
         **build_oracles_ext5(),
         **build_oracles_ext6(),
         **build_oracles_ext7(),
+        **build_oracles_ext8(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -3569,6 +3569,7 @@ def build_queries() -> dict:
     from .queries_ext6 import build_queries_ext6
     from .queries_ext7 import build_queries_ext7
     from .queries_ext8 import build_queries_ext8
+    from .queries_ext9 import build_queries_ext9
 
     return {
         **build_queries_ext(),
@@ -3579,6 +3580,7 @@ def build_queries() -> dict:
         **build_queries_ext6(),
         **build_queries_ext7(),
         **build_queries_ext8(),
+        **build_queries_ext9(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3653,6 +3655,7 @@ def build_oracles() -> dict:
     from .queries_ext6 import build_oracles_ext6
     from .queries_ext7 import build_oracles_ext7
     from .queries_ext8 import build_oracles_ext8
+    from .queries_ext9 import build_oracles_ext9
 
     return {
         **build_oracles_ext(),
@@ -3663,6 +3666,7 @@ def build_oracles() -> dict:
         **build_oracles_ext6(),
         **build_oracles_ext7(),
         **build_oracles_ext8(),
+        **build_oracles_ext9(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -91,19 +91,29 @@ def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float] | None:
     ``Centroid`` semantics, used as the seed guess at lib.rs:361-364).
 
     Returns None when the total weight is zero (degenerate)."""
+    return _centroid_from_cache([_ring_terms(r) for r in rings])
+
+
+def _ring_terms(ring: np.ndarray):
+    """Per-ring shoelace scratch shared by the area and centroid kernels:
+    (x, y, x1, y1, cross, 2*signed_area).  Computing it once per ring is
+    the batch prep's hottest micro-saving; every consumer replays the
+    exact fp op order of the original standalone kernels (bit-parity
+    with the reference fixtures depends on it)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    x1 = _cyc(x)
+    y1 = _cyc(y)
+    cross = x * y1 - x1 * y
+    return x, x1, y, y1, cross, float(np.sum(cross))
+
+
+def _centroid_from_cache(cache) -> tuple[float, float] | None:
     wsum = 0.0
     cx = 0.0
     cy = 0.0
-    for i, ring in enumerate(rings):
-        if len(ring) < 3:
-            continue
-        x = ring[:, 0]
-        y = ring[:, 1]
-        x1 = _cyc(x)
-        y1 = _cyc(y)
-        cross = x * y1 - x1 * y
-        a2 = float(np.sum(cross))  # 2 * signed area
-        if a2 == 0.0:
+    for i, (x, x1, y, y1, cross, a2) in enumerate(cache):
+        if len(x) < 3 or a2 == 0.0:
             continue
         rx = float(np.sum((x + x1) * cross)) / (3.0 * a2)
         ry = float(np.sum((y + y1) * cross)) / (3.0 * a2)
@@ -701,7 +711,10 @@ def polylabel_batch(
             out_e[i] = ERR_NONFINITE
             norm_polys.append(None)
             continue
-        area = polygon_signed_area(rs)
+        ring_cache = [_ring_terms(r) for r in rs]
+        # identical to polygon_signed_area: python-sequential sum of the
+        # per-ring np.sum(cross) values, halved once
+        area = sum(c[5] for c in ring_cache) / 2.0
         out_a[i] = area
         if area == 0.0:
             out_x[i] = 0.0
@@ -739,7 +752,7 @@ def polylabel_batch(
             small_polys.append(rs)
 
         # seed cells: centroid guess, bbox-centre guess, covering grid
-        cen = polygon_centroid(rs)
+        cen = _centroid_from_cache(ring_cache)
         bbc = ((minx + maxx) / 2.0, (miny + maxy) / 2.0)
         if cen is None:
             cen = bbc  # degenerate centroid: fall back to bbox centre guess

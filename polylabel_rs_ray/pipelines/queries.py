@@ -3570,6 +3570,7 @@ def build_queries() -> dict:
     from .queries_ext7 import build_queries_ext7
     from .queries_ext8 import build_queries_ext8
     from .queries_ext9 import build_queries_ext9
+    from .queries_ext10 import build_queries_ext10
 
     return {
         **build_queries_ext(),
@@ -3581,6 +3582,7 @@ def build_queries() -> dict:
         **build_queries_ext7(),
         **build_queries_ext8(),
         **build_queries_ext9(),
+        **build_queries_ext10(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3656,6 +3658,7 @@ def build_oracles() -> dict:
     from .queries_ext7 import build_oracles_ext7
     from .queries_ext8 import build_oracles_ext8
     from .queries_ext9 import build_oracles_ext9
+    from .queries_ext10 import build_oracles_ext10
 
     return {
         **build_oracles_ext(),
@@ -3667,6 +3670,7 @@ def build_oracles() -> dict:
         **build_oracles_ext7(),
         **build_oracles_ext8(),
         **build_oracles_ext9(),
+        **build_oracles_ext10(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

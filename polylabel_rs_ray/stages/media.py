@@ -143,6 +143,56 @@ class FrameSampler:
         })
 
 
+class ImageResizer:
+    """Actor-pool stage: image span -> one fixed-WxH RGB payload row.
+
+    The resize hook mirrors the other media stages: ``decode="real"`` is
+    where PIL/opencv decode+resize plugs in (absent here, raises);
+    ``decode="fake"`` synthesizes a deterministic width*height*3 payload
+    from blake2b(media_ref).  Output carries the original-size metadata
+    columns a real decoder would fill."""
+
+    def __init__(self, width: int = 64, height: int = 64, decode: str = "fake"):
+        if decode not in ("fake", "real"):
+            raise ValueError(decode)
+        self.width = width
+        self.height = height
+        self.decode = decode
+
+    def _rgb(self, ref: str) -> bytes:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real image decode requires PIL/opencv absent from this "
+                "environment; the fake path preserves schema and plumbing"
+            )
+        need = self.width * self.height * 3
+        seed = hashlib.blake2b(ref.encode(), digest_size=32).digest()
+        reps = -(-need // len(seed))
+        return (seed * reps)[:need]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        imgs = batch.filter(pc.equal(batch.column("kind"), "image"))
+        refs = imgs.column("media_ref").to_pylist()
+        n = imgs.num_rows
+        payloads = [self._rgb(r or "") for r in refs]
+        # deterministic fake "original" dims derived from the ref
+        orig = np.array(
+            [int.from_bytes(hashlib.blake2b((r or "").encode(),
+                                            digest_size=2).digest(), "little")
+             for r in refs],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_num": pc.cast(imgs.column("doc_num"), pa.int64()),
+            "span_offset": pc.cast(imgs.column("span_offset"), pa.int64()),
+            "orig_width": pa.array(64 + orig % 1024, type=pa.int32()),
+            "orig_height": pa.array(64 + (orig // 1024) % 1024, type=pa.int32()),
+            "width": pa.array(np.full(n, self.width), type=pa.int32()),
+            "height": pa.array(np.full(n, self.height), type=pa.int32()),
+            "rgb": pa.array(payloads, type=pa.binary()),
+        })
+
+
 class AudioChunker:
     """Actor-pool stage: audio span -> fixed-duration PCM chunk rows.
 

@@ -113,3 +113,31 @@ def simplify_ring(ring: np.ndarray, eps: float) -> np.ndarray:
     if len(pts) <= 2:
         return pts
     return pts[douglas_peucker_mask(pts, eps)]
+
+
+def ring_perimeter(pts: np.ndarray) -> float:
+    """Perimeter of an (n, 2) ring (closing edge implicit): sequential sum
+    of per-edge Euclidean lengths.  On bbox-normalized dyadic rings every
+    coordinate difference is fp-exact, so the value is bit-reproducible
+    across translated copies."""
+    if len(pts) < 2:
+        return 0.0
+    d = np.roll(pts, -1, axis=0) - pts
+    seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+    return float(np.sum(seg))
+
+
+def ring_diameter_sq(pts: np.ndarray) -> float:
+    """Squared diameter (max pairwise squared distance) of an (n, 2) ring.
+
+    The diameter endpoints lie on the convex hull, so the all-pairs max is
+    taken over hull vertices only (h^2 work on a tiny h) — the exact
+    rotating-calipers answer without the sweep's edge cases.  Squared
+    distances of bbox-normalized dyadic coords are exact integers-in-float,
+    so the max is deterministic."""
+    h = convex_hull(pts)
+    if len(h) < 2:
+        return 0.0
+    dx = h[:, 0][:, None] - h[:, 0][None, :]
+    dy = h[:, 1][:, None] - h[:, 1][None, :]
+    return float((dx * dx + dy * dy).max())

@@ -3571,6 +3571,7 @@ def build_queries() -> dict:
     from .queries_ext8 import build_queries_ext8
     from .queries_ext9 import build_queries_ext9
     from .queries_ext10 import build_queries_ext10
+    from .queries_ext11 import build_queries_ext11
 
     return {
         **build_queries_ext(),
@@ -3583,6 +3584,7 @@ def build_queries() -> dict:
         **build_queries_ext8(),
         **build_queries_ext9(),
         **build_queries_ext10(),
+        **build_queries_ext11(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3659,6 +3661,7 @@ def build_oracles() -> dict:
     from .queries_ext8 import build_oracles_ext8
     from .queries_ext9 import build_oracles_ext9
     from .queries_ext10 import build_oracles_ext10
+    from .queries_ext11 import build_oracles_ext11
 
     return {
         **build_oracles_ext(),
@@ -3671,6 +3674,7 @@ def build_oracles() -> dict:
         **build_oracles_ext8(),
         **build_oracles_ext9(),
         **build_oracles_ext10(),
+        **build_oracles_ext11(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

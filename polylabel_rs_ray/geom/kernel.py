@@ -699,15 +699,45 @@ def polylabel_batch(
     states: dict[int, _PolyState] = {}
     seeds: list[tuple[int, float, float, float]] = []  # (poly, cx, cy, h)
 
-    for i, rings in enumerate(polys):
+    # phase 1: normalize rings; flatten every surviving coordinate once so
+    # the per-poly isfinite / bbox screens become a handful of reduceat
+    # calls instead of ~4 small reductions per polygon.  These are
+    # comparison reductions — any evaluation order is bit-identical.
+    norm_all: list[list[np.ndarray] | None] = []
+    flat_parts: list[np.ndarray] = []
+    poly_starts: list[int] = []
+    pos = 0
+    for rings in polys:
         rs = [normalize_ring(np.asarray(r, dtype=np.float64).reshape(-1, 2)) for r in rings]
         rs = [r for r in rs if len(r) > 0]
         if not rs or len(rs[0]) == 0:
+            norm_all.append(None)
+            continue
+        norm_all.append(rs)
+        poly_starts.append(pos)
+        for r in rs:
+            flat_parts.append(r)
+            pos += len(r)
+    if flat_parts:
+        flat = np.concatenate(flat_parts)
+        starts = np.asarray(poly_starts, dtype=np.int64)
+        fin = np.isfinite(flat)
+        fin_row = fin[:, 0] & fin[:, 1]
+        poly_finite = np.bitwise_and.reduceat(fin_row, starts)
+        minx_a = np.minimum.reduceat(flat[:, 0], starts)
+        maxx_a = np.maximum.reduceat(flat[:, 0], starts)
+        miny_a = np.minimum.reduceat(flat[:, 1], starts)
+        maxy_a = np.maximum.reduceat(flat[:, 1], starts)
+
+    k = -1  # index into the surviving-poly arrays above
+    for i, rings in enumerate(polys):
+        rs = norm_all[i]
+        if rs is None:
             out_e[i] = ERR_EMPTY
             norm_polys.append(None)
             continue
-        allc = np.concatenate(rs) if len(rs) > 1 else rs[0]
-        if not np.isfinite(allc).all():
+        k += 1
+        if not poly_finite[k]:
             out_e[i] = ERR_NONFINITE
             norm_polys.append(None)
             continue
@@ -723,12 +753,10 @@ def polylabel_batch(
             norm_polys.append(None)
             continue
         # bounding box over ALL rings (geo bounding_rect covers interiors too)
-        xs = allc[:, 0]
-        ys = allc[:, 1]
-        minx = float(xs.min())
-        maxx = float(xs.max())
-        miny = float(ys.min())
-        maxy = float(ys.max())
+        minx = float(minx_a[k])
+        maxx = float(maxx_a[k])
+        miny = float(miny_a[k])
+        maxy = float(maxy_a[k])
         w = maxx - minx
         hgt = maxy - miny
         cell_size = min(w, hgt)

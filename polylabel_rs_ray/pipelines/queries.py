@@ -3572,6 +3572,7 @@ def build_queries() -> dict:
     from .queries_ext9 import build_queries_ext9
     from .queries_ext10 import build_queries_ext10
     from .queries_ext11 import build_queries_ext11
+    from .queries_ext12 import build_queries_ext12
 
     return {
         **build_queries_ext(),
@@ -3585,6 +3586,7 @@ def build_queries() -> dict:
         **build_queries_ext9(),
         **build_queries_ext10(),
         **build_queries_ext11(),
+        **build_queries_ext12(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3662,6 +3664,7 @@ def build_oracles() -> dict:
     from .queries_ext9 import build_oracles_ext9
     from .queries_ext10 import build_oracles_ext10
     from .queries_ext11 import build_oracles_ext11
+    from .queries_ext12 import build_oracles_ext12
 
     return {
         **build_oracles_ext(),
@@ -3675,6 +3678,7 @@ def build_oracles() -> dict:
         **build_oracles_ext9(),
         **build_oracles_ext10(),
         **build_oracles_ext11(),
+        **build_oracles_ext12(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

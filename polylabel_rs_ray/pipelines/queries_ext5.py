@@ -175,6 +175,51 @@ def _levenshtein_pairs(
     return res
 
 
+def _levenshtein_pairs_banded(
+    A: np.ndarray, la: np.ndarray, B: np.ndarray, lb: np.ndarray, d: int
+) -> np.ndarray:
+    """Banded Levenshtein across P pairs: O(maxlen x (2d+1)) instead of
+    O(maxlen x maxlen).  Exact for any pair whose true distance is <= d
+    (an <=d-edit path never leaves the |j-i|<=d diagonal band); pairs
+    beyond the threshold return some value > d (clamped, sufficient for
+    the keep-filter).  Requires |la-lb| <= d (the length-bucket blocking
+    guarantees it).  Same vector tricks as the full DP: the in-row
+    insertion recurrence is a running-minimum accumulate along the band
+    (consecutive k = consecutive j at fixed i)."""
+    P = B.shape[0]
+    W = 2 * d + 1
+    INF = np.int32(1 << 29)
+    kk = np.arange(W, dtype=np.int32)
+    # pad B with d sentinel columns each side so the cost slice at row i
+    # is always the contiguous window Bp[:, i-1 : i-1+W]
+    Bp = np.zeros((P, B.shape[1] + 2 * d), dtype=A.dtype)
+    Bp[:, d : d + B.shape[1]] = B
+    # row 0: dp[0][j] = j for j in [0, d] -> band cells k >= d
+    row = np.where(kk >= d, kk - d, INF).astype(np.int32)
+    row = np.broadcast_to(row, (P, W)).copy()
+    res = np.empty(P, dtype=np.int64)
+    if (la == 0).any():
+        res[la == 0] = lb[la == 0]
+    pair_rows = np.arange(P)
+    maxla = int(la.max()) if P else 0
+    shifted = np.empty((P, W), dtype=np.int32)
+    for i in range(1, maxla + 1):
+        cost = (A[:, i - 1 : i] != Bp[:, i - 1 : i - 1 + W]).astype(np.int32)
+        shifted[:, :-1] = row[:, 1:]
+        shifted[:, -1] = INF
+        tmp = np.minimum(shifted + 1, row + cost)
+        # j = i + k - d: cells left of j=1 are invalid; j=0 is the base
+        # column dp[i][0] = i (present only while i <= d at k = d - i)
+        if i <= d:
+            tmp[:, : d - i] = INF
+            tmp[:, d - i] = i
+        row = np.minimum.accumulate(tmp - kk, axis=1) + kk
+        done = la == i
+        if done.any():
+            res[done] = row[pair_rows[done], lb[done] - i + d]
+    return res
+
+
 def q_edit_distance_dups(sf_dir: str, n_parts: int | None = None):
     """Near-dup pairs by edit distance with (lang, n_chars//8) blocking:
     block key hash-partitions the corpus so every candidate pair is
@@ -245,7 +290,9 @@ def q_edit_distance_dups(sf_dir: str, n_parts: int | None = None):
             return empty
         ia = np.concatenate(ia_list)
         ib = np.concatenate(ib_list)
-        dist = _levenshtein_pairs(chars[ia], lens[ia], chars[ib], lens[ib])
+        dist = _levenshtein_pairs_banded(
+            chars[ia], lens[ia], chars[ib], lens[ib], EDIT_MAX_DIST
+        )
         keep = dist <= EDIT_MAX_DIST
         ia, ib, dist = ia[keep], ib[keep], dist[keep]
         a, b = did[ia], did[ib]

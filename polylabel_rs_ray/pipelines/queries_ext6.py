@@ -39,29 +39,34 @@ def pagerank_over_pairs(edges, node_ids: np.ndarray,
     Dataset treated as undirected.  ``node_ids`` is the full sorted node
     domain (isolated nodes included — they hold teleport-only rank).
     Returns the final rank vector aligned with node_ids."""
-    from ..stages.agg import grouped_aggregate
-
     ray = _ray()
     V = len(node_ids)
     ids_ref = ray.put(node_ids)
 
+    def _dense_sum(ds) -> np.ndarray:
+        # each block emits ONE dense length-V partial vector (the rank
+        # domain is a bounded dimension) — the reduce is an O(blocks)
+        # driver sum with NO shuffle, the histogram-reduce pattern
+        parts = ds.to_pandas()
+        acc = np.zeros(V, dtype=np.float64)
+        for row in parts["vec"]:
+            acc += np.asarray(row, dtype=np.float64)
+        return acc
+
     # weighted degree s_u = sum of incident edge weights (one pass)
     def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
         a = batch.column("part_a").to_numpy().astype(np.int64)
         b = batch.column("part_b").to_numpy().astype(np.int64)
         w = batch.column("n_pairs").to_numpy().astype(np.float64)
-        return pa.table({
-            "node": pa.array(np.r_[a, b], type=pa.int64()),
-            "w": pa.array(np.r_[w, w], type=pa.float64()),
-        })
+        vec = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(vec, np.searchsorted(ids, a), w)
+        np.add.at(vec, np.searchsorted(ids, b), w)
+        return pa.table({"vec": pa.array([vec], type=pa.list_(pa.float64()))})
 
-    deg_tbl = grouped_aggregate(
-        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["node"],
-        [("sum", "w", "s")],
-    ).to_pandas()  # O(V)
-    s = np.zeros(V, dtype=np.float64)
-    s[np.searchsorted(node_ids, deg_tbl["node"].to_numpy())] = deg_tbl["s"].to_numpy()
+    s = _dense_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
     r = np.full(V, 1.0 / V)
     for _ in range(iters):
@@ -77,18 +82,14 @@ def pagerank_over_pairs(edges, node_ids: np.ndarray,
             w = batch.column("n_pairs").to_numpy().astype(np.float64)
             ia = np.searchsorted(ids, a)
             ib = np.searchsorted(ids, b)
-            return pa.table({
-                "node": pa.array(np.r_[a, b], type=pa.int64()),
-                "c": pa.array(np.r_[w * rv[ib], w * rv[ia]], type=pa.float64()),
-            })
+            vec = np.zeros(len(ids), dtype=np.float64)
+            np.add.at(vec, ia, w * rv[ib])
+            np.add.at(vec, ib, w * rv[ia])
+            return pa.table({"vec": pa.array([vec], type=pa.list_(pa.float64()))})
 
-        ct = grouped_aggregate(
-            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
-            ["node"],
-            [("sum", "c", "c")],
-        ).to_pandas()  # O(V)
-        inflow = np.zeros(V, dtype=np.float64)
-        inflow[np.searchsorted(node_ids, ct["node"].to_numpy())] = ct["c"].to_numpy()
+        inflow = _dense_sum(
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        )
         dangling = float(r[s == 0].sum())
         r = (1.0 - damping) / V + damping * (inflow + dangling / V)
     return r
@@ -99,7 +100,10 @@ def q_pagerank_parts(sf_dir: str):
 
     import pyarrow.parquet as pq
 
-    edges = q_part_pair_counts(sf_dir).materialize()  # aggregated pair graph,
+    # aggregated pair graph: repartition to a few dense blocks BEFORE
+    # materializing — every one of the K iterations walks these blocks, so
+    # per-iteration task-launch overhead scales with block count
+    edges = q_part_pair_counts(sf_dir).repartition(8).materialize()
     # orders of magnitude smaller than lineitem; reused across K iterations
     node_ids = np.sort(
         pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])

@@ -62,6 +62,36 @@ def test_levenshtein_pairs_matches_scalar_dp():
     assert np.array_equal(got, want)
 
 
+def test_levenshtein_banded_matches_full_within_threshold():
+    from polylabel_rs_ray.pipelines.queries_ext5 import (
+        _levenshtein_pairs,
+        _levenshtein_pairs_banded,
+    )
+
+    rng = np.random.default_rng(13)
+    strs = ["".join(rng.choice(list("ab"), size=rng.integers(0, 30))) for _ in range(50)]
+    enc = [s.encode() for s in strs]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    maxlen = max(1, int(lens.max()))
+    chars = np.zeros((len(strs), maxlen), dtype=np.uint8)
+    for i, e in enumerate(enc):
+        chars[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    d = 8
+    pairs = [
+        (i, j)
+        for i in range(len(strs))
+        for j in range(len(strs))
+        if abs(lens[i] - lens[j]) <= d
+    ]
+    ia = np.array([p[0] for p in pairs])
+    ib = np.array([p[1] for p in pairs])
+    full = _levenshtein_pairs(chars[ia], lens[ia], chars[ib], lens[ib])
+    band = _levenshtein_pairs_banded(chars[ia], lens[ia], chars[ib], lens[ib], d)
+    near = full <= d
+    assert np.array_equal(band[near], full[near])  # exact within threshold
+    assert (band[~near] > d).all()  # clamped beyond it
+
+
 def test_gopher_signals_match_duckdb(ray_session, con):
     from polylabel_rs_ray.pipelines.queries_ext5 import (
         SQL_GOPHER_SIGNALS,

@@ -3573,6 +3573,7 @@ def build_queries() -> dict:
     from .queries_ext10 import build_queries_ext10
     from .queries_ext11 import build_queries_ext11
     from .queries_ext12 import build_queries_ext12
+    from .queries_ext13 import build_queries_ext13
 
     return {
         **build_queries_ext(),
@@ -3587,6 +3588,7 @@ def build_queries() -> dict:
         **build_queries_ext10(),
         **build_queries_ext11(),
         **build_queries_ext12(),
+        **build_queries_ext13(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3665,6 +3667,7 @@ def build_oracles() -> dict:
     from .queries_ext10 import build_oracles_ext10
     from .queries_ext11 import build_oracles_ext11
     from .queries_ext12 import build_oracles_ext12
+    from .queries_ext13 import build_oracles_ext13
 
     return {
         **build_oracles_ext(),
@@ -3679,6 +3682,7 @@ def build_oracles() -> dict:
         **build_oracles_ext10(),
         **build_oracles_ext11(),
         **build_oracles_ext12(),
+        **build_oracles_ext13(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

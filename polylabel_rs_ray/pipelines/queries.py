@@ -3574,6 +3574,7 @@ def build_queries() -> dict:
     from .queries_ext11 import build_queries_ext11
     from .queries_ext12 import build_queries_ext12
     from .queries_ext13 import build_queries_ext13
+    from .queries_ext14 import build_queries_ext14
 
     return {
         **build_queries_ext(),
@@ -3589,6 +3590,7 @@ def build_queries() -> dict:
         **build_queries_ext11(),
         **build_queries_ext12(),
         **build_queries_ext13(),
+        **build_queries_ext14(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3668,6 +3670,7 @@ def build_oracles() -> dict:
     from .queries_ext11 import build_oracles_ext11
     from .queries_ext12 import build_oracles_ext12
     from .queries_ext13 import build_oracles_ext13
+    from .queries_ext14 import build_oracles_ext14
 
     return {
         **build_oracles_ext(),
@@ -3683,6 +3686,7 @@ def build_oracles() -> dict:
         **build_oracles_ext11(),
         **build_oracles_ext12(),
         **build_oracles_ext13(),
+        **build_oracles_ext14(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -3575,6 +3575,7 @@ def build_queries() -> dict:
     from .queries_ext12 import build_queries_ext12
     from .queries_ext13 import build_queries_ext13
     from .queries_ext14 import build_queries_ext14
+    from .queries_ext15 import build_queries_ext15
 
     return {
         **build_queries_ext(),
@@ -3591,6 +3592,7 @@ def build_queries() -> dict:
         **build_queries_ext12(),
         **build_queries_ext13(),
         **build_queries_ext14(),
+        **build_queries_ext15(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3671,6 +3673,7 @@ def build_oracles() -> dict:
     from .queries_ext12 import build_oracles_ext12
     from .queries_ext13 import build_oracles_ext13
     from .queries_ext14 import build_oracles_ext14
+    from .queries_ext15 import build_oracles_ext15
 
     return {
         **build_oracles_ext(),
@@ -3687,6 +3690,7 @@ def build_oracles() -> dict:
         **build_oracles_ext12(),
         **build_oracles_ext13(),
         **build_oracles_ext14(),
+        **build_oracles_ext15(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -65,6 +65,7 @@ def test_rows_only_set_is_the_documented_one():
         "embedding_near_dup",   # LSH banding, no SQL analogue
         "ivf_topk",             # trained-centroid ANN, approximate
         "approx_distinct_users",  # HLL sketch, approximate
+        "hll_type_overlap",     # HLL set algebra, approximate
         "dedup_clusters",       # iterative connected components
         "video_frame_stats",    # engine-synthesized media spans
         "audio_chunk_stats",    # same

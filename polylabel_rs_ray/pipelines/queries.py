@@ -3576,6 +3576,7 @@ def build_queries() -> dict:
     from .queries_ext13 import build_queries_ext13
     from .queries_ext14 import build_queries_ext14
     from .queries_ext15 import build_queries_ext15
+    from .queries_ext16 import build_queries_ext16
 
     return {
         **build_queries_ext(),
@@ -3593,6 +3594,7 @@ def build_queries() -> dict:
         **build_queries_ext13(),
         **build_queries_ext14(),
         **build_queries_ext15(),
+        **build_queries_ext16(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3674,6 +3676,7 @@ def build_oracles() -> dict:
     from .queries_ext13 import build_oracles_ext13
     from .queries_ext14 import build_oracles_ext14
     from .queries_ext15 import build_oracles_ext15
+    from .queries_ext16 import build_oracles_ext16
 
     return {
         **build_oracles_ext(),
@@ -3691,6 +3694,7 @@ def build_oracles() -> dict:
         **build_oracles_ext13(),
         **build_oracles_ext14(),
         **build_oracles_ext15(),
+        **build_oracles_ext16(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -3577,6 +3577,7 @@ def build_queries() -> dict:
     from .queries_ext14 import build_queries_ext14
     from .queries_ext15 import build_queries_ext15
     from .queries_ext16 import build_queries_ext16
+    from .queries_ext17 import build_queries_ext17
 
     return {
         **build_queries_ext(),
@@ -3595,6 +3596,7 @@ def build_queries() -> dict:
         **build_queries_ext14(),
         **build_queries_ext15(),
         **build_queries_ext16(),
+        **build_queries_ext17(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3677,6 +3679,7 @@ def build_oracles() -> dict:
     from .queries_ext14 import build_oracles_ext14
     from .queries_ext15 import build_oracles_ext15
     from .queries_ext16 import build_oracles_ext16
+    from .queries_ext17 import build_oracles_ext17
 
     return {
         **build_oracles_ext(),
@@ -3695,6 +3698,7 @@ def build_oracles() -> dict:
         **build_oracles_ext14(),
         **build_oracles_ext15(),
         **build_oracles_ext16(),
+        **build_oracles_ext17(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

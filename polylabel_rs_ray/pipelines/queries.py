@@ -3578,6 +3578,7 @@ def build_queries() -> dict:
     from .queries_ext15 import build_queries_ext15
     from .queries_ext16 import build_queries_ext16
     from .queries_ext17 import build_queries_ext17
+    from .queries_ext18 import build_queries_ext18
 
     return {
         **build_queries_ext(),
@@ -3597,6 +3598,7 @@ def build_queries() -> dict:
         **build_queries_ext15(),
         **build_queries_ext16(),
         **build_queries_ext17(),
+        **build_queries_ext18(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3680,6 +3682,7 @@ def build_oracles() -> dict:
     from .queries_ext15 import build_oracles_ext15
     from .queries_ext16 import build_oracles_ext16
     from .queries_ext17 import build_oracles_ext17
+    from .queries_ext18 import build_oracles_ext18
 
     return {
         **build_oracles_ext(),
@@ -3699,6 +3702,7 @@ def build_oracles() -> dict:
         **build_oracles_ext15(),
         **build_oracles_ext16(),
         **build_oracles_ext17(),
+        **build_oracles_ext18(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

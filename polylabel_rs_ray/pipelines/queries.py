@@ -3579,6 +3579,7 @@ def build_queries() -> dict:
     from .queries_ext16 import build_queries_ext16
     from .queries_ext17 import build_queries_ext17
     from .queries_ext18 import build_queries_ext18
+    from .queries_ext19 import build_queries_ext19
 
     return {
         **build_queries_ext(),
@@ -3599,6 +3600,7 @@ def build_queries() -> dict:
         **build_queries_ext16(),
         **build_queries_ext17(),
         **build_queries_ext18(),
+        **build_queries_ext19(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3683,6 +3685,7 @@ def build_oracles() -> dict:
     from .queries_ext16 import build_oracles_ext16
     from .queries_ext17 import build_oracles_ext17
     from .queries_ext18 import build_oracles_ext18
+    from .queries_ext19 import build_oracles_ext19
 
     return {
         **build_oracles_ext(),
@@ -3703,6 +3706,7 @@ def build_oracles() -> dict:
         **build_oracles_ext16(),
         **build_oracles_ext17(),
         **build_oracles_ext18(),
+        **build_oracles_ext19(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -3580,6 +3580,7 @@ def build_queries() -> dict:
     from .queries_ext17 import build_queries_ext17
     from .queries_ext18 import build_queries_ext18
     from .queries_ext19 import build_queries_ext19
+    from .queries_ext20 import build_queries_ext20
 
     return {
         **build_queries_ext(),
@@ -3601,6 +3602,7 @@ def build_queries() -> dict:
         **build_queries_ext17(),
         **build_queries_ext18(),
         **build_queries_ext19(),
+        **build_queries_ext20(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -3686,6 +3688,7 @@ def build_oracles() -> dict:
     from .queries_ext17 import build_oracles_ext17
     from .queries_ext18 import build_oracles_ext18
     from .queries_ext19 import build_oracles_ext19
+    from .queries_ext20 import build_oracles_ext20
 
     return {
         **build_oracles_ext(),
@@ -3707,6 +3710,7 @@ def build_oracles() -> dict:
         **build_oracles_ext17(),
         **build_oracles_ext18(),
         **build_oracles_ext19(),
+        **build_oracles_ext20(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..stages.util import actor_concurrency
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1)
@@ -87,7 +89,7 @@ def ann_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5):
         fn_constructor_kwargs={"queries": qm, "query_ids": qids, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
 
     def reduce_group(group: pa.Table) -> pa.Table:
@@ -220,7 +222,7 @@ def ivf_topk_pipeline(sf_dir: str, n_queries: int = 3, k: int = 5,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
 
     def reduce_group(group: pa.Table) -> pa.Table:

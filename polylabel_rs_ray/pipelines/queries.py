@@ -28,6 +28,7 @@ from ..geom.kernel import polylabel_one
 from ..sources import docs as docs_mod
 from ..sources.fixtures import DYADIC_FIXTURES, FIXTURE_CYCLE, FIXTURES
 from ..stages.label import label_batch, label_points
+from ..stages.util import actor_concurrency
 
 DYADIC_IDX = [FIXTURE_CYCLE.index(n) for n in DYADIC_FIXTURES]
 
@@ -364,7 +365,7 @@ def q_cell_encode(sf_dir: str):
         fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     ).select_columns(["doc_num", "cell_id", "tile_id"])
 
 
@@ -391,7 +392,7 @@ def q_zone_join(sf_dir: str):
         fn_constructor_kwargs={"keep_cols": ("doc_num",)},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
 
 
@@ -459,7 +460,7 @@ def q_knn_tiles(sf_dir: str):
         fn_constructor_kwargs={"k": 3, "keep_cols": ("doc_num",)},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
 
 
@@ -506,7 +507,7 @@ def q_tile_counts(sf_dir: str):
         fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
     from ..stages.agg import grouped_aggregate
 
@@ -538,7 +539,7 @@ def q_render_tiles(sf_dir: str):
         fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
     tiles = render_tiles(ds)
     return tiles.select_columns(
@@ -3317,7 +3318,7 @@ def q_tile_pyramid(sf_dir: str):
                                "tile_res": DEFAULT_TILE_RES},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
     level = grouped_aggregate(
         ds, ["tile_id"], [("count", None, "n_points")]

@@ -19,6 +19,7 @@ from ..config import DEFAULT_TILE_RES, WORLD_MIN, WORLD_SIZE
 from ..geom.ops import convex_hull, ring_area, simplify_ring
 from ..sources import docs as docs_mod
 from ..sources.fixtures import DYADIC_FIXTURES, FIXTURE_CYCLE, FIXTURES
+from ..stages.util import actor_concurrency
 
 DYADIC_IDX = [FIXTURE_CYCLE.index(n) for n in DYADIC_FIXTURES]
 
@@ -172,7 +173,7 @@ def q_bbox_overlap_join(sf_dir: str):
         _bbox_stage, batch_format="pyarrow", zero_copy_batch=True
     )
     return ds.map_batches(
-        _BboxZoneOverlap, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        _BboxZoneOverlap, batch_format="pyarrow", zero_copy_batch=True, concurrency=actor_concurrency()
     )
 
 
@@ -225,7 +226,7 @@ def q_nearest_zone(sf_dir: str):
     from .queries import _dyadic_labeled
 
     return _dyadic_labeled(sf_dir).map_batches(
-        _NearestZone, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        _NearestZone, batch_format="pyarrow", zero_copy_batch=True, concurrency=actor_concurrency()
     )
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..stages.util import actor_concurrency
 import pyarrow.compute as pc
 
 PAGE_OFFSET = 100
@@ -205,7 +207,7 @@ def q_image_resize_stats(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,
-        concurrency=2,
+        concurrency=actor_concurrency(),
     )
 
     def sizes(batch: pa.Table) -> pa.Table:

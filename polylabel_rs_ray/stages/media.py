@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import actor_concurrency
+
 MEDIA_FEATURE_DIM = 8
 
 
@@ -75,7 +77,7 @@ class MediaFeaturizer:
         return batch.append_column("features", col)
 
 
-def media_pipeline(sf_dir: str, *, concurrency: int = 2):
+def media_pipeline(sf_dir: str, *, concurrency=None):
     """docs -> explode media spans -> featurize (actor pool)."""
     from ..sources.docs import read_docs
 
@@ -86,7 +88,7 @@ def media_pipeline(sf_dir: str, *, concurrency: int = 2):
         fn_constructor_kwargs={"decode": "fake"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_concurrency(),
     )
 
 
@@ -254,7 +256,7 @@ class AudioChunker:
         })
 
 
-def audio_pipeline(sf_dir: str, *, concurrency: int = 2):
+def audio_pipeline(sf_dir: str, *, concurrency=None):
     """docs -> explode media spans -> chunk audio (actor pool, small
     batches for the PCM payloads)."""
     from ..sources.docs import read_docs
@@ -268,11 +270,11 @@ def audio_pipeline(sf_dir: str, *, concurrency: int = 2):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,  # chunks explode rows x n_samples*2 bytes
-        concurrency=concurrency,
+        concurrency=concurrency or actor_concurrency(),
     )
 
 
-def frame_pipeline(sf_dir: str, *, n_frames: int = 4, concurrency: int = 2):
+def frame_pipeline(sf_dir: str, *, n_frames: int = 4, concurrency=None):
     """docs -> explode media spans -> sample+resize frames (actor pool,
     small batches for the binary payloads)."""
     from ..sources.docs import read_docs
@@ -286,5 +288,5 @@ def frame_pipeline(sf_dir: str, *, n_frames: int = 4, concurrency: int = 2):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=256,  # frames explode rows x W*H*3 bytes; keep batches small
-        concurrency=concurrency,
+        concurrency=concurrency or actor_concurrency(),
     )

@@ -23,3 +23,18 @@ def shuffle_blocks(default: int = 32) -> int:
 
 def coalesce_for_shuffle(ds, target: int | None = None):
     return ds.repartition(target or shuffle_blocks())
+
+
+def actor_concurrency(reserve: int = 2, cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling ``(min, max)`` actor-pool size derived from the cluster.
+
+    Ray Data fuses upstream stateless task stages into a downstream actor
+    pool (observed: ``ActorPoolMapOperator[MapBatches(attach_interleaved)->
+    ...->MapBatches(CellEncoder)]``), so a fixed ``concurrency=2`` caps the
+    WHOLE fused hot chain at 2 workers regardless of cluster size.  An
+    autoscaling tuple lets the pool grow to the machine (minus ``reserve``
+    cores left for the read/shuffle operators) while still starting small."""
+    hi = max(2, shuffle_blocks() - reserve)
+    if cap is not None:
+        hi = min(hi, cap)
+    return (2, hi)

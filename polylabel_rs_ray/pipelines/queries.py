@@ -1366,14 +1366,33 @@ def _bucket_candidate_pairs(group: pa.Table) -> pa.Table:
     })
 
 
+MINHASH_BROADCAST_MAX_DOCS = 1_000_000
+
+
 def q_minhash_near_dup(
     sf_dir: str,
     threshold: float = 0.5,
     n_parts: int | None = None,
     use_bloom: bool | None = None,
+    verify_mode: str | None = None,
 ):
-    """MinHash+LSH near-dup, fully distributed — no stage ever holds the
-    whole band table or the whole corpus:
+    """MinHash+LSH near-dup.  Candidate generation is always the
+    bucket-hash-partitioned band sweep; VERIFICATION is corpus-size-gated
+    (same auto-gating idea as the bloom prefilter below):
+
+    * ``verify_mode="broadcast"`` (auto when the corpus is <=
+      MINHASH_BROADCAST_MAX_DOCS): the (doc_id -> text) map ships to the
+      object store ONCE (``ray.put``) and candidate pairs verify in
+      stateless elastic tasks — zero extra shuffles.  Right whenever the
+      corpus text fits comfortably in the object store (~1M docs).
+    * ``verify_mode="partitioned"`` (auto above the gate): the fully
+      distributed two-pass co-partitioned text join below — 2 extra
+      shuffles, but no stage ever holds the whole corpus.
+
+    Both modes return identical pairs (pinned by
+    tests/test_text_dedup.py::test_minhash_verify_modes_agree).
+
+    The distributed shape, for the partitioned mode:
 
       signature -> band explode                        (stateless map_batches)
       -> groupby(bucket-hash partition) pair sweep     (shuffle 1: bands)
@@ -1417,6 +1436,73 @@ def q_minhash_near_dup(
         .map_groups(_bucket_candidate_pairs, batch_format="pyarrow")
     )
 
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if verify_mode is None:
+        verify_mode = (
+            "broadcast" if n_docs <= MINHASH_BROADCAST_MAX_DOCS else "partitioned"
+        )
+    if verify_mode not in ("broadcast", "partitioned"):
+        raise ValueError(verify_mode)
+
+    if verify_mode == "broadcast":
+        # Small-corpus fast path: the (doc_id -> text) map (base corpus +
+        # the same deterministic planting the dataset applies) is built from
+        # the source parquet — no second pipeline run — and shipped to the
+        # object store ONCE; candidate pairs verify in stateless tasks.
+        #
+        # Global pair dedup first: the partitioned candidate sweep dedupes
+        # only within its partition, and the same pair surfaces from many
+        # band buckets (measured ~13x duplication at 120k docs).  The
+        # partitioned mode gets this for free from pass B; here one tiny
+        # groupby over the 16-byte pair rows does it before any Jaccard
+        # work is spent.
+        from ..stages.agg import grouped_aggregate
+
+        cands = grouped_aggregate(
+            cands, ["doc_a", "doc_b"], [("count", None, "_nbands")]
+        ).select_columns(["doc_a", "doc_b"])
+        base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        corpus: dict[int, str] = {}
+        for i, t in zip(base.column("doc_id").to_pylist(),
+                        base.column("text").to_pylist()):
+            corpus[int(i)] = t
+            if int(i) % DUP_EVERY == 0:
+                corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
+        corpus_ref = ray.put(corpus)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            texts = ray.get(corpus_ref)
+            cache: dict[int, np.ndarray] = {}
+
+            def sh(i: int) -> np.ndarray:
+                v = cache.get(i)
+                if v is None:
+                    v = shingles(texts.get(i, ""))
+                    cache[i] = v
+                return v
+
+            A = batch.column("doc_a").to_numpy()
+            B = batch.column("doc_b").to_numpy()
+            da, db, jj = [], [], []
+            for a_id, b_id in zip(A, B):
+                j = jaccard(sh(int(a_id)), sh(int(b_id)))
+                if j >= threshold:
+                    da.append(int(a_id))
+                    db.append(int(b_id))
+                    jj.append(int(round(j * 100)))
+            return pa.table({
+                "doc_a": pa.array(da, type=pa.int64()),
+                "doc_b": pa.array(db, type=pa.int64()),
+                "jaccard_pct": pa.array(jj, type=pa.int64()),
+            })
+
+        return cands.map_batches(
+            verify_broadcast, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=8192,
+        )
+
     # Distributed bloom semi-join prefilter: only docs that can appear in a
     # candidate pair cross the two verify shuffles (no false negatives ->
     # results unchanged; false positives ship harmlessly).  It requires
@@ -1425,11 +1511,7 @@ def q_minhash_near_dup(
     # shuffle volume it saves dominates once the corpus text is large, so
     # it auto-enables past ~5M docs.
     if use_bloom is None:
-        import pyarrow.parquet as pq
-
-        use_bloom = (
-            pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows > 5_000_000
-        )
+        use_bloom = n_docs > 5_000_000
     bloom_ref = None
     if use_bloom:
         from ..functions.bloom import bloom_size_bits, build_bloom
@@ -1879,6 +1961,27 @@ def emb_planes_for(n: int) -> int:
     return int(min(40, max(12, np.ceil(np.log2(max(n, 2))) + 4)))
 
 
+_EMB_PLANES_CACHE: dict[tuple[int, int], "np.ndarray"] = {}
+
+
+def _emb_planes(dim: int, planes_per_band: int) -> "np.ndarray":
+    """Hyperplane matrix for AND/OR banding, built ONCE per worker process
+    per (dim, planes) and reused across every batch (the per-batch rng +
+    standard_normal construction was per-batch state setup of exactly the
+    kind the actor-__init__ pattern exists for; a module cache gives the
+    same amortization without forcing the stage into an actor pool).
+    Deterministic from the seed, so every worker builds the identical
+    banding without coordination."""
+    key = (dim, planes_per_band)
+    m = _EMB_PLANES_CACHE.get(key)
+    if m is None:
+        m = np.random.default_rng(123).standard_normal(
+            (EMB_BANDS * planes_per_band, dim)
+        )
+        _EMB_PLANES_CACHE[key] = m
+    return m
+
+
 def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98, n_parts: int | None = None):
     """Embedding-cosine near-dup via AND/OR hyperplane banding: a vector
     lands in EMB_BANDS buckets (one per band of ``emb_planes_for(n)`` sign
@@ -1925,10 +2028,8 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98, n_parts: int | No
     def bucketize(batch: pa.Table) -> pa.Table:
         m = embedding_matrix(batch)
         n, dim = m.shape
-        # hyperplanes derived deterministically from (dim, plane count), so
-        # every task builds the identical banding without coordination
         R = planes_per_band
-        planes = np.random.default_rng(123).standard_normal((EMB_BANDS * R, dim))
+        planes = _emb_planes(dim, R)
         signs = (m @ planes.T) > 0  # (n, BANDS*R)
         weights = (np.int64(1) << np.arange(R, dtype=np.int64))
         keys = np.empty((n, EMB_BANDS), dtype=np.int64)

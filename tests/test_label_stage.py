@@ -180,3 +180,40 @@ def test_read_table_format_fallbacks(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_table(str(tmp_path), "missing_table")
+
+
+def test_read_table_lance_dispatch(ray_session, tmp_path, monkeypatch):
+    """The Lance branch (the production read path per the north-rule
+    input_hint) dispatches to ray.data.read_lance with the column pruning
+    passed through — exercised via an injected fake lance module +
+    read_lance, since pylance is absent from this sandbox."""
+    import sys
+    import types
+
+    import ray
+
+    from polylabel_rs_ray.sources.table import read_table
+
+    (tmp_path / "documents.lance").mkdir()
+    # a parquet sibling too: lance must win when both exist
+    import shutil
+
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", tmp_path / "documents.parquet"
+    )
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    calls = {}
+
+    def fake_read_lance(path, columns=None, **kwargs):
+        calls["path"] = path
+        calls["columns"] = columns
+        calls["kwargs"] = kwargs
+        return ray.data.from_items([{"doc_id": 1, "lang": "en"}])
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance, raising=False)
+
+    ds = read_table(str(tmp_path), "documents", columns=["doc_id", "lang"])
+    assert calls["path"] == str(tmp_path / "documents.lance")
+    assert calls["columns"] == ["doc_id", "lang"]
+    assert ds.take_all() == [{"doc_id": 1, "lang": "en"}]

@@ -2984,8 +2984,9 @@ def q_video_frame_stats(sf_dir: str):
     """Frame-sampling plumbing end-to-end: docs -> media-span explode ->
     FrameSampler actor pool (sample + resize, fake decode per the stub
     policy) -> per-doc frame count and payload bytes through the map-side
-    combine.  Rows-only: the spans are synthesized engine-side, so no SQL
-    view of them exists (pytest pins counts and payload sizes)."""
+    combine.  Oracle-backed: span synthesis is pure doc_id arithmetic
+    (spans_for_doc_ids) and the fake frame payload size is the constant
+    width*height*3, so SQL replays counts and bytes exactly."""
     from ..stages.agg import grouped_aggregate
     from ..stages.media import frame_pipeline
 
@@ -3004,6 +3005,24 @@ def q_video_frame_stats(sf_dir: str):
         ["doc_num"],
         [("count", None, "n_frames"), ("sum", "frame_bytes", "total_bytes")],
     )
+
+
+# SQL replay of the span synthesis (sources/docs.py::spans_for_doc_ids):
+# doc i carries doc_id%8+1 spans, span j has kind (doc_id+j)%4
+# (0=text 1=image 2=audio 3=video); FrameSampler emits n_frames=4 frames of
+# width*height*3 = 32*18*3 = 1728 bytes per video span.
+SQL_VIDEO_FRAME_STATS = r"""
+    WITH sp AS (
+      SELECT doc_id,
+             len(list_filter(range(doc_id % 8 + 1), j -> (doc_id + j) % 4 = 3))
+               AS n_video
+      FROM documents
+    )
+    SELECT doc_id AS doc_num,
+           CAST(n_video * 4 AS BIGINT) AS n_frames,
+           CAST(n_video * 4 * 1728 AS BIGINT) AS total_bytes
+    FROM sp WHERE n_video > 0
+"""
 
 
 CHUNK_TOKENS = 64
@@ -3867,6 +3886,7 @@ def build_oracles() -> dict:
         "price_discount_corr": SQL_PRICE_DISCOUNT_CORR,
         "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
         "props_value_stats": SQL_PROPS_VALUE_STATS,
-        # minhash_near_dup, simhash, embedding_near_dup, ivf_topk:
-        # rows-only (not SQL-expressible)
+        "video_frame_stats": SQL_VIDEO_FRAME_STATS,
+        # embedding_near_dup, ivf_topk: rows-only (LSH banding /
+        # trained-centroid ANN — approximate, no SQL analogue)
     }

@@ -231,9 +231,26 @@ def build_queries_ext10() -> dict:
     }
 
 
+# SQL replay of the span synthesis (sources/docs.py::spans_for_doc_ids):
+# span j of doc i has kind (doc_id+j)%4, 1 = image; ImageResizer emits one
+# width*height*3 = 64*64*3 = 12288-byte RGB payload per image span.
+SQL_IMAGE_RESIZE_STATS = r"""
+    WITH sp AS (
+      SELECT doc_id,
+             len(list_filter(range(doc_id % 8 + 1), j -> (doc_id + j) % 4 = 1))
+               AS n_img
+      FROM documents
+    )
+    SELECT doc_id AS doc_num,
+           CAST(n_img AS BIGINT) AS n_images,
+           CAST(n_img * 12288 AS BIGINT) AS total_bytes
+    FROM sp WHERE n_img > 0
+"""
+
+
 def build_oracles_ext10() -> dict:
-    # image_resize_stats: engine-synthesized spans -> rows-only
     return {
         "value_outliers": SQL_VALUE_OUTLIERS,
         "value_page": SQL_VALUE_PAGE,
+        "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     }

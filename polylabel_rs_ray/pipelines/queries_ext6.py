@@ -27,7 +27,9 @@
 * ``audio_chunk_stats`` — audio-decode plumbing end-to-end: docs ->
   media-span explode -> AudioChunker actor pool (fixed-duration PCM
   chunks, fake decode per the stub policy) -> per-doc chunk count and
-  payload bytes.  Rows-only (spans are synthesized engine-side)."""
+  payload bytes.  Oracle-backed: span synthesis is pure doc_id
+  arithmetic and the chunk count is md5-derived, which DuckDB's
+  md5_number_lower replays exactly."""
 
 from __future__ import annotations
 
@@ -338,6 +340,26 @@ def build_queries_ext6() -> dict:
     }
 
 
+# SQL replay of the span synthesis + AudioChunker fake decode: span j of
+# doc i has kind (doc_id+j)%4, 2 = audio, media_ref 'media://{doc}/{j}';
+# chunk count per clip = 1 + md5-low-8-bytes-LE(ref) % max_chunks — exactly
+# DuckDB's md5_number_lower — and each chunk is n_samples*2 = 8000 bytes.
+SQL_AUDIO_CHUNK_STATS = r"""
+    WITH sp AS (
+      SELECT doc_id, unnest(range(doc_id % 8 + 1)) AS j FROM documents
+    ), au AS (
+      SELECT doc_id,
+             1 + CAST(md5_number_lower('media://' || doc_id || '/' || j) % 4
+                      AS BIGINT) AS nc
+      FROM sp WHERE (doc_id + j) % 4 = 2
+    )
+    SELECT doc_id AS doc_num,
+           CAST(SUM(nc) AS BIGINT) AS n_chunks,
+           CAST(SUM(nc) * 8000 AS BIGINT) AS total_bytes
+    FROM au GROUP BY doc_id
+"""
+
+
 def build_oracles_ext6() -> dict:
-    # both rows-only: iterative float algorithm / engine-synthesized spans
-    return {}
+    # pagerank_parts stays rows-only: iterative float algorithm
+    return {"audio_chunk_stats": SQL_AUDIO_CHUNK_STATS}

@@ -217,7 +217,11 @@ class AudioChunker:
         self.decode = decode
 
     def _n_chunks(self, ref: str) -> int:
-        h = hashlib.blake2b(ref.encode(), digest_size=2).digest()
+        # fake-decode stand-in for clip duration: md5 low 8 bytes (LE) so a
+        # DuckDB oracle can replay it exactly (md5_number_lower(ref)); a
+        # real decoder replaces this with duration-derived chunking behind
+        # the decode switch
+        h = hashlib.md5(ref.encode()).digest()[8:]
         return 1 + int.from_bytes(h, "little") % self.max_chunks
 
     def _chunk(self, ref: str, idx: int) -> bytes:

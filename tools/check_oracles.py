@@ -47,7 +47,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True)
@@ -62,6 +62,8 @@ def main(sf_dir: str) -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         if name not in oracles:
             # rows-only check (driver's weaker path): no canonicalization —
@@ -110,4 +112,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    raise SystemExit(main(sf, only=sys.argv[2:] or None))

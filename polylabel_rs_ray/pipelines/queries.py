@@ -345,13 +345,125 @@ def _dyadic_labeled(sf_dir: str):
 
 
 def q_labeled_output(sf_dir: str):
-    """The full per-document output table (FIXTURES.md §3 schema) — the
-    product a consumer of the engine reads.  Rows-only (nested struct/list
-    payloads); the scalar columns are covered by the exact oracles of
-    label_dyadic / cell_encode."""
+    """The flagship product table (FIXTURES.md §3 schema), projected to an
+    oracle-checkable row per document: the nested ``spans`` column becomes
+    (n_spans, span_sig) where ``span_sig`` is the md5-low-8-bytes of the
+    canonical span-sequence string — computed from the ACTUAL spans that
+    traveled the whole pipeline (synthesize -> checkpoint parquet ->
+    label -> encode), so the north-rule span-sequence invariant (kind,
+    text, media_ref, order) is oracle-verified end-to-end, not assumed.
+    Label/cell columns are exact for the dyadic fixtures and NULL
+    otherwise (same contract as label_dyadic).  The full nested table
+    remains available via pipelines.flagship.labeled_output."""
+    import hashlib
+
     from .flagship import labeled_output
 
-    return labeled_output(sf_dir)
+    ds = labeled_output(sf_dir)
+    mods = np.array(DYADIC_IDX, dtype=np.int64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id")
+        doc_num = pc.cast(pc.utf8_slice_codeunits(doc_id, 4), pa.int64())
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        counts = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        offs = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        flat = spans.flatten()
+        per_span = pc.binary_join_element_wise(
+            flat.field("kind"),
+            pc.fill_null(flat.field("text"), ""),
+            pc.fill_null(flat.field("media_ref"), ""),
+            pc.cast(flat.field("offset"), pa.string()),
+            "|",
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), per_span), ";"
+        )
+        sig = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+                for s in joined.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(counts),
+        )
+        dyadic = pa.array(np.isin(doc_num.to_numpy() % docs_mod.N_FIXTURES, mods))
+        label = batch.column("label")
+        if isinstance(label, pa.ChunkedArray):
+            label = label.combine_chunks()
+
+        def masked(col):
+            return pc.if_else(dyadic, col, pa.nulls(len(counts), col.type))
+
+        return pa.table({
+            "doc_num": doc_num,
+            "doc_id": doc_id,
+            "n_spans": pa.array(counts, type=pa.int64()),
+            "span_sig": pa.array(sig, type=pa.uint64()),
+            "label_x": masked(pc.struct_field(label, "x")),
+            "label_y": masked(pc.struct_field(label, "y")),
+            "label_dist": masked(batch.column("label_dist")),
+            "area": masked(batch.column("area")),
+            # -1 sentinel (not NULL) for non-dyadic rows: a nullable int64
+            # becomes float64 in pandas and 2^61-scale cell ids lose
+            # precision there
+            "cell_id": pc.if_else(
+                dyadic, pc.cast(batch.column("cell_id"), pa.int64()),
+                pa.array(np.full(len(counts), -1), type=pa.int64()),
+            ),
+            "tile_id": pc.if_else(
+                dyadic, pc.cast(batch.column("tile_id"), pa.int64()),
+                pa.array(np.full(len(counts), -1), type=pa.int64()),
+            ),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_labeled_output() -> str:
+    """SQL replay: span synthesis re-derived from doc_id arithmetic
+    (sources/docs.py::spans_for_doc_ids) with the SAME canonical string +
+    md5_number_lower, labels/cells from the dyadic-fixture CTE."""
+    from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
+    from ..stages.cells import sql_cell_id_expr
+
+    cell = sql_cell_id_expr("l.label_x", "l.label_y", DEFAULT_CELL_RES)
+    tile = sql_cell_id_expr("l.label_x", "l.label_y", DEFAULT_TILE_RES)
+    return f"""
+        WITH d AS (
+          SELECT doc_id AS doc_num,
+                 'doc-' || doc_id AS doc_id_str,
+                 CAST(doc_id % 8 + 1 AS BIGINT) AS n_spans,
+                 md5_number_lower(array_to_string(
+                   list_transform(range(doc_id % 8 + 1), j ->
+                     (CASE (doc_id + j) % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                           WHEN 2 THEN 'audio' ELSE 'video' END)
+                     || '|' ||
+                     (CASE WHEN (doc_id + j) % 4 = 0
+                           THEN 'text of doc ' || doc_id || ' span ' || j
+                           ELSE '' END)
+                     || '|' ||
+                     (CASE WHEN (doc_id + j) % 4 <> 0
+                           THEN 'media://' || doc_id || '/' || j
+                           ELSE '' END)
+                     || '|' || j
+                   ), ';')) AS span_sig
+          FROM documents
+        ), l AS ({_sql_label_dyadic()})
+        SELECT d.doc_num,
+               d.doc_id_str AS doc_id,
+               d.n_spans,
+               d.span_sig,
+               l.label_x, l.label_y, l.label_dist, l.area,
+               CAST(CASE WHEN l.doc_num IS NULL THEN -1 ELSE {cell} END
+                    AS BIGINT) AS cell_id,
+               CAST(CASE WHEN l.doc_num IS NULL THEN -1 ELSE {tile} END
+                    AS BIGINT) AS tile_id
+        FROM d LEFT JOIN l ON d.doc_num = l.doc_num
+    """
 
 
 def q_cell_encode(sf_dir: str):
@@ -527,14 +639,19 @@ def _sql_tile_counts() -> str:
 
 
 def q_render_tiles(sf_dir: str):
-    """Full tile pipeline over ALL fixtures (raster + vector payloads);
-    rows-only check (binary payloads aren't SQL-expressible) — the raster
-    grid invariants are pinned by pytest golden tests instead."""
+    """Tile render pipeline (shuffle by tile_id -> per-tile raster/vector
+    render), projected to the raster's integer invariants so DuckDB can
+    verify the rendered grids value-exactly: raster_sum == points in the
+    tile, raster_nonzero == distinct pixels hit, n_zones_clipped == zones
+    overlapping the tile bbox.  Restricted to the dyadic-fixture docs
+    (the exact-oracle set, same contract as zone_join/cell_encode); the
+    all-fixture path with full binary payloads runs in the flagship and
+    the pytest golden tests."""
     from ..config import DEFAULT_CELL_RES, DEFAULT_TILE_RES
     from ..stages.cells import CellEncoder
     from ..stages.tiles import render_tiles
 
-    ds = labeled_docs(sf_dir).map_batches(
+    ds = _dyadic_labeled(sf_dir).map_batches(
         CellEncoder,
         fn_constructor_kwargs={"cell_res": DEFAULT_CELL_RES, "tile_res": DEFAULT_TILE_RES},
         batch_format="pyarrow",
@@ -545,6 +662,62 @@ def q_render_tiles(sf_dir: str):
     return tiles.select_columns(
         ["tile_id", "n_points", "n_zones_clipped", "raster_nonzero", "raster_sum"]
     )
+
+
+def _sql_render_tiles() -> str:
+    """SQL replay of TileRenderer's integer invariants over the dyadic
+    labels: pixel coords via the same exact dyadic float arithmetic (tile
+    size 128 and raster 64 px are powers of two, labels and offsets are
+    dyadic, so FLOOR-division replays numpy's truncation bit-exactly)."""
+    from ..config import DEFAULT_TILE_RES, WORLD_MIN, WORLD_SIZE
+    from ..stages.cells import sql_cell_id_expr
+    from ..stages.join import sql_zone_values
+
+    n = 1 << DEFAULT_TILE_RES
+    ts = WORLD_SIZE / n  # 128.0
+    tile = sql_cell_id_expr("label_x", "label_y", DEFAULT_TILE_RES)
+
+    def grid(c):
+        return (
+            f"LEAST({n - 1}, GREATEST(0, "
+            f"CAST(FLOOR(({c} - ({WORLD_MIN!r})) / {ts!r}) AS BIGINT)))"
+        )
+
+    def pix(c, i):
+        return (
+            f"LEAST(63, GREATEST(0, CAST(FLOOR(({c} - ({WORLD_MIN!r} + {i} * {ts!r}))"
+            f" / {ts!r} * 64) AS BIGINT)))"
+        )
+
+    return f"""
+        WITH l AS ({_sql_label_dyadic()}),
+        pts AS (
+          SELECT {tile} AS tile_id,
+                 {grid('label_x')} AS ixt, {grid('label_y')} AS iyt,
+                 label_x, label_y
+          FROM l
+        ), px AS (
+          SELECT tile_id, ixt, iyt,
+                 {pix('label_x', 'ixt')} AS gx,
+                 {pix('label_y', 'iyt')} AS gy
+          FROM pts
+        ), agg AS (
+          SELECT tile_id, ixt, iyt,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(COUNT(DISTINCT gy * 64 + gx) AS BIGINT) AS raster_nonzero,
+                 CAST(COUNT(*) AS BIGINT) AS raster_sum
+          FROM px GROUP BY tile_id, ixt, iyt
+        )
+        SELECT tile_id, n_points,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {sql_zone_values()}
+                WHERE GREATEST(zx0, {WORLD_MIN!r} + agg.ixt * {ts!r})
+                      < LEAST(zx1, {WORLD_MIN!r} + (agg.ixt + 1) * {ts!r})
+                  AND GREATEST(zy0, {WORLD_MIN!r} + agg.iyt * {ts!r})
+                      < LEAST(zy1, {WORLD_MIN!r} + (agg.iyt + 1) * {ts!r})
+               ) AS n_zones_clipped,
+               raster_nonzero, raster_sum
+        FROM agg
+    """
 
 
 # --------------------------------------------------------------------------
@@ -3883,6 +4056,8 @@ def build_oracles() -> dict:
         "conversion_funnel": SQL_CONVERSION_FUNNEL,
         "cube_sales": SQL_CUBE_SALES,
         "tile_pyramid": _sql_tile_pyramid(),
+        "labeled_output": _sql_labeled_output(),
+        "render_tiles": _sql_render_tiles(),
         "price_discount_corr": SQL_PRICE_DISCOUNT_CORR,
         "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
         "props_value_stats": SQL_PROPS_VALUE_STATS,

@@ -98,6 +98,30 @@ def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def shingle_strs(text: str, n: int = 3) -> set:
+    """EXACT word n-gram shingle set (strings, not hashes) — the verify-side
+    twin of ``shingles``: candidate generation stays on the hashed/minhashed
+    path, but verification over strings has no 32-bit collision noise, so a
+    SQL oracle over the same n-gram strings replays reported similarities
+    value-exactly."""
+    toks = text.lower().split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_pct_exact(sa: set, sb: set) -> tuple[int, int]:
+    """(intersection, union) sizes — callers derive pass/fail and the
+    integer percentage ``(200*i + u) // (2*u)`` (round-half-up, pure int
+    arithmetic: no float rounding for SQL to mis-replay)."""
+    if not sa and not sb:
+        return 1, 1
+    i = len(sa & sb)
+    return i, len(sa) + len(sb) - i
+
+
 class MinHasher:
     """Actor-pool stage state: permutation parameters built once."""
 
@@ -139,7 +163,7 @@ def band_hashes_batch(sigs: np.ndarray) -> np.ndarray:
 
 # --- SimHash ---------------------------------------------------------------
 
-_TOK8_HASH: dict[str, int] = {}  # per-process blake2b 8-byte token-hash cache
+_TOK8_HASH: dict[str, int] = {}  # per-process md5 8-byte token-hash cache
 
 
 def _tok8_array(tokens: list[str]) -> np.ndarray:
@@ -148,14 +172,16 @@ def _tok8_array(tokens: list[str]) -> np.ndarray:
     for i, t in enumerate(tokens):
         h = th.get(t)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            # md5 low 8 bytes LE == DuckDB md5_number_lower — lets the
+            # simhash oracle replay token hashes exactly in SQL
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
             th[t] = h
         out[i] = h
     return out
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
     return int(simhash64_batch([text])[0])
 
 

@@ -720,6 +720,8 @@ def polylabel_batch(
             pos += len(r)
     if flat_parts:
         flat = np.concatenate(flat_parts)
+        flat_parts.clear()  # drop the ring-view list: the concat copy + the
+        # norm_all originals would otherwise coexist for the whole batch
         starts = np.asarray(poly_starts, dtype=np.int64)
         fin = np.isfinite(flat)
         fin_row = fin[:, 0] & fin[:, 1]
@@ -728,6 +730,7 @@ def polylabel_batch(
         maxx_a = np.maximum.reduceat(flat[:, 0], starts)
         miny_a = np.minimum.reduceat(flat[:, 1], starts)
         maxy_a = np.maximum.reduceat(flat[:, 1], starts)
+        del flat, fin, fin_row  # screens done; free before the state build
 
     k = -1  # index into the surviving-poly arrays above
     for i, rings in enumerate(polys):

@@ -1479,6 +1479,138 @@ def _corpus_with_planted_dups(sf_dir: str):
     return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sql_planted_corpus() -> str:
+    """SQL replay of ``_corpus_with_planted_dups``: base documents UNION the
+    deterministic ``mutate_text`` near-duplicates (drop every 17th word by
+    (i + doc_id) % 17, append 'x' to word doc_id % len(kept); DuckDB list
+    lambdas are 1-indexed, hence the i - 1)."""
+    words = r"list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')"
+    return f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {DUP_OFFSET} AS doc_id,
+               array_to_string(
+                 list_transform(kept, (w, i) ->
+                   CASE WHEN i - 1 = doc_id % GREATEST(len(kept), 1)
+                        THEN w || 'x' ELSE w END
+                 ), ' ') AS text
+        FROM (
+          SELECT doc_id,
+                 list_filter({words},
+                             (w, i) -> ((i - 1) + doc_id) % 17 <> 0) AS kept
+          FROM documents WHERE doc_id % {DUP_EVERY} = 0
+        )
+    """
+
+
+def _sql_shingle_cte() -> str:
+    """(doc_id, g) distinct word-3-gram shingle STRINGS over the planted
+    corpus — the exact sets the engine's verify stage uses
+    (functions/dedup.py::shingle_strs)."""
+    return f"""
+        corpus AS ({_sql_planted_corpus()}),
+        w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM corpus
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+                               WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                               ELSE list_transform(range(1, len(ws) - 1),
+                                                   i -> ws[i] || ' ' || ws[i+1]
+                                                        || ' ' || ws[i+2])
+                          END) AS g
+            FROM w)
+        )
+    """
+
+
+def _sql_minhash_near_dup() -> str:
+    """EXHAUSTIVE set-similarity self-join (shared-shingle inverted-index
+    join -> exact integer jaccard) — an independent ground truth for the
+    LSH pipeline: it finds every pair with j >= 0.5, so the oracle also
+    proves the banded-LSH candidate generation missed nothing on this
+    corpus, not just that verification was computed correctly."""
+    return f"""
+        WITH {_sql_shingle_cte()},
+        sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), ju AS (
+          SELECT doc_a, doc_b, i, sa.s + sb.s - i AS u
+          FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+                     JOIN sz sb ON sb.doc_id = inter.doc_b
+        )
+        SELECT doc_a, doc_b, CAST((200 * i + u) // (2 * u) AS BIGINT) AS jaccard_pct
+        FROM ju WHERE 2 * i >= u
+    """
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components over the SAME exhaustive set-similarity pair
+    join as the minhash oracle, via recursive reachability (label(n) =
+    min doc_id reachable from n).  Component sizes are tiny (near-dup
+    clusters), so the transitive closure stays bounded."""
+    return f"""
+        WITH RECURSIVE {_sql_shingle_cte()},
+        sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+                     JOIN sz sb ON sb.doc_id = inter.doc_b
+          WHERE 2 * i >= sa.s + sb.s - i
+        ), e AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(node, r) AS (
+          SELECT src AS node, src AS r FROM e
+          UNION
+          SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+        )
+        SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+
+# SQL replay of functions/dedup.py::simhash64_batch over the planted corpus:
+# token hash = md5 low 8 bytes LE (md5_number_lower), per-bit +-1 majority
+# over whitespace-lowercase tokens, packed and shifted >> 1 for int64.
+def _sql_simhash() -> str:
+    return f"""
+        WITH corpus AS ({_sql_planted_corpus()}),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    w -> w <> '')) AS tok
+          FROM corpus
+        ), bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM toks, (SELECT unnest(range(64)) AS b)
+          GROUP BY doc_id, b
+        ), packed AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << b)
+                          ELSE CAST(0 AS UBIGINT) END) AS p
+          FROM bits GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(p.p, CAST(0 AS UBIGINT)) >> 1 AS BIGINT) AS simhash
+        FROM corpus c LEFT JOIN packed p ON c.doc_id = p.doc_id
+    """
+
+
 _MINHASHER = None
 
 
@@ -1581,7 +1713,12 @@ def q_minhash_near_dup(
     partition) has the same doc_b, so all copies land in one group.
     Rows-only oracle (pytest pins planted-pair recall and the partitioned
     path's equality with the single-partition path)."""
-    from ..functions.dedup import LSH_BANDS, band_hashes_batch, jaccard, shingles
+    from ..functions.dedup import (
+        LSH_BANDS,
+        band_hashes_batch,
+        jaccard_pct_exact,
+        shingle_strs,
+    )
     from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     ray = _ray()
@@ -1647,12 +1784,12 @@ def q_minhash_near_dup(
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
             texts = ray.get(corpus_ref)
-            cache: dict[int, np.ndarray] = {}
+            cache: dict[int, set] = {}
 
-            def sh(i: int) -> np.ndarray:
+            def sh(i: int) -> set:
                 v = cache.get(i)
                 if v is None:
-                    v = shingles(texts.get(i, ""))
+                    v = shingle_strs(texts.get(i, ""))
                     cache[i] = v
                 return v
 
@@ -1660,11 +1797,11 @@ def q_minhash_near_dup(
             B = batch.column("doc_b").to_numpy()
             da, db, jj = [], [], []
             for a_id, b_id in zip(A, B):
-                j = jaccard(sh(int(a_id)), sh(int(b_id)))
-                if j >= threshold:
+                i, u = jaccard_pct_exact(sh(int(a_id)), sh(int(b_id)))
+                if i >= threshold * u:
                     da.append(int(a_id))
                     db.append(int(b_id))
-                    jj.append(int(round(j * 100)))
+                    jj.append((200 * i + u) // (2 * u))
             return pa.table({
                 "doc_a": pa.array(da, type=pa.int64()),
                 "doc_b": pa.array(db, type=pa.int64()),
@@ -1763,7 +1900,7 @@ def q_minhash_near_dup(
         da, db, jj = [], [], []
         if pairs.num_rows:
             lut = dict(zip(docs.column("doc_a").to_pylist(), docs.column("text").to_pylist()))
-            cache: dict[int, np.ndarray] = {}
+            cache: dict[int, set] = {}
             A = pairs.column("doc_a").to_pylist()
             B = pairs.column("doc_b").to_pylist()
             TB = pairs.column("text").to_pylist()
@@ -1773,13 +1910,13 @@ def q_minhash_near_dup(
                     continue
                 sa = cache.get(int(a_id))
                 if sa is None:
-                    sa = shingles(ta)
+                    sa = shingle_strs(ta)
                     cache[int(a_id)] = sa
-                j = jaccard(sa, shingles(tb))
-                if j >= threshold:
+                i, u = jaccard_pct_exact(sa, shingle_strs(tb))
+                if i >= threshold * u:
                     da.append(int(a_id))
                     db.append(int(b_id))
-                    jj.append(int(round(j * 100)))
+                    jj.append((200 * i + u) // (2 * u))
         return pa.table({
             "doc_a": pa.array(da, type=pa.int64()),
             "doc_b": pa.array(db, type=pa.int64()),
@@ -1974,9 +2111,10 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
     decrease, so convergence == sum(labels) unchanged; rounds ≈ cluster
     diameter (tiny for dup clusters).  Per-round state (the label table,
     O(nodes-in-pairs) — far smaller than the corpus) is materialized so
-    iterations don't re-execute prior lineage.  Rows-only (CC is not
-    SQL-expressible without recursion over engine-computed pairs); pytest
-    pins equality with a driver-side union-find at sf0.001."""
+    iterations don't re-execute prior lineage.  Oracle-backed: a recursive
+    CTE over the exhaustive set-similarity pair join replays the
+    components; pytest additionally pins equality with a driver-side
+    union-find at sf0.001."""
     from ..stages.agg import grouped_aggregate
     from ..stages.util import shuffle_blocks
 
@@ -2105,9 +2243,10 @@ def q_dedup_clusters(sf_dir: str, n_parts: int | None = None):
 
 
 def q_simhash(sf_dir: str):
-    """64-bit SimHash per document (rows-only; pytest pins hamming
-    closeness of planted near-duplicates).  Vectorized per batch, elastic
-    stateless tasks (no concurrency cap)."""
+    """64-bit SimHash per document over the planted corpus — oracle-backed:
+    md5 token hashes are DuckDB's md5_number_lower, so SQL replays the
+    per-bit majority exactly.  Vectorized per batch, elastic stateless
+    tasks (no concurrency cap)."""
     from ..functions.dedup import simhash64_batch
 
     ds = _corpus_with_planted_dups(sf_dir)
@@ -4058,6 +4197,9 @@ def build_oracles() -> dict:
         "tile_pyramid": _sql_tile_pyramid(),
         "labeled_output": _sql_labeled_output(),
         "render_tiles": _sql_render_tiles(),
+        "simhash": _sql_simhash(),
+        "minhash_near_dup": _sql_minhash_near_dup(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "price_discount_corr": SQL_PRICE_DISCOUNT_CORR,
         "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
         "props_value_stats": SQL_PROPS_VALUE_STATS,

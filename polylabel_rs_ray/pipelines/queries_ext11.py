@@ -44,6 +44,34 @@ def q_diameter_stats(sf_dir: str):
     )
 
 
+def _independent_metrology(ext: np.ndarray) -> tuple[float, float]:
+    """Oracle-side twin computed WITHOUT the engine kernels: pure-Python
+    all-pairs diameter over ALL ring vertices (no convex hull) and a
+    sequential math.sqrt perimeter loop.  Independent code path, same IEEE
+    doubles — on the dyadic fixtures both agree bit-for-bit with the
+    kernels (the all-pairs max is over exact integer-in-float squares; the
+    perimeter edges are few enough that numpy's pairwise sum degenerates
+    to the sequential order).  Keeps the SQL constants from sharing code
+    with ``ring_diameter_sq``/``ring_perimeter`` under test."""
+    import math
+
+    pts = [(float(x), float(y)) for x, y in ext]
+    d2 = 0.0
+    for i, (xi, yi) in enumerate(pts):
+        for xj, yj in pts[i + 1:]:
+            dx, dy = xi - xj, yi - yj
+            v = dx * dx + dy * dy
+            if v > d2:
+                d2 = v
+    per = 0.0
+    n = len(pts)
+    if n >= 2:
+        for i, (x0, y0) in enumerate(pts):
+            x1, y1 = pts[(i + 1) % n]
+            per += math.sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+    return d2, per
+
+
 def _sql_diameter_stats() -> str:
     cases_d, cases_p = [], []
     for name in DYADIC_FIXTURES:
@@ -51,8 +79,9 @@ def _sql_diameter_stats() -> str:
         ext = _norm_exterior(
             [np.asarray(r, dtype=np.float64) for r in FIXTURES[name].rings]
         )
-        cases_d.append(f"WHEN {f} THEN {ring_diameter_sq(ext)!r}")
-        cases_p.append(f"WHEN {f} THEN {ring_perimeter(ext)!r}")
+        d2, per = _independent_metrology(ext)
+        cases_d.append(f"WHEN {f} THEN {d2!r}")
+        cases_p.append(f"WHEN {f} THEN {per!r}")
     n = docs_mod.N_FIXTURES
     mods = ",".join(str(m) for m in DYADIC_IDX)
     return f"""

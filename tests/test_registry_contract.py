@@ -58,22 +58,15 @@ def test_rows_only_set_is_the_documented_one():
 
     rows_only = set(build_queries()) - set(build_oracles())
     allowed = {
-        "labeled_output",       # parquet sink demo (binary manifest)
-        "render_tiles",         # binary raster/vector payloads
-        "minhash_near_dup",     # hash-permutation family, no SQL analogue
-        "simhash",              # same
-        "embedding_near_dup",   # LSH banding, no SQL analogue
+        "embedding_near_dup",   # LSH banding over float cosine — approximate
         "ivf_topk",             # trained-centroid ANN, approximate
         "approx_distinct_users",  # HLL sketch, approximate
         "hll_type_overlap",     # HLL set algebra, approximate
-        "dedup_clusters",       # iterative connected components
-        "video_frame_stats",    # engine-synthesized media spans
-        "audio_chunk_stats",    # same
-        "image_resize_stats",   # same
-        "pagerank_parts",       # iterative float algorithm
+        "pagerank_parts",       # iterative float algorithm (repr-exact floats
+                                # don't survive a SQL replay)
         "value_quantile_sketch",  # approximate by construction
-        "lang_id_dist",         # distributed variant of lang_id (if present)
-        "tfidf_top_terms_dist",  # distributed TF-IDF variant (rows-only twin)
     }
     unexpected = rows_only - allowed
     assert not unexpected, sorted(unexpected)
+    # the set can only shrink — a new rows-only query needs a reason here
+    assert rows_only == allowed, sorted(allowed - rows_only)

@@ -5,11 +5,18 @@ Runs every ``queries()`` entry at the given sf dir, runs the matching
 row count + schema + an order-insensitive value hash (columns sorted by
 name, rows sorted, values hashed).  Usage:
 
-    python tools/check_oracles.py [sf_dir]
+    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py --json OUT.json [sf_dir]   # full-sweep artifact
+
+The --json artifact mirrors the driver's CORRECTNESS_r{N}.json row shape
+(rows_match / schema_match / hash_match / engine_rows / oracle_rows / err,
+plus mode: "oracle" | "rows-only") so a committed full-registry sweep is
+directly comparable with the driver's sampled gate.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -47,7 +54,8 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(sf_dir: str, only: list[str] | None = None,
+         json_out: str | None = None) -> int:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True)
@@ -61,10 +69,16 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        row = {"mode": "oracle" if name in oracles else "rows-only",
+               "rows_match": None, "schema_match": None, "hash_match": None,
+               "engine_rows": None, "oracle_rows": None, "err": None,
+               "secs": None}
+        report[name] = row
         if name not in oracles:
             # rows-only check (driver's weaker path): no canonicalization —
             # nested struct/list columns need not be sortable/hashable
@@ -72,14 +86,18 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
                 raw = to_pandas(fn(sf_dir))
             except Exception as exc:  # noqa: BLE001
                 print(f"FAIL {name}: ray query raised {exc!r}")
+                row["err"] = repr(exc)
                 failures += 1
                 continue
-            print(f"ok?  {name}: rows={len(raw)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            row["engine_rows"] = len(raw)
+            row["secs"] = round(time.time() - t0, 2)
+            print(f"ok?  {name}: rows={len(raw)} (no oracle, rows-only) [{row['secs']}s]")
             continue
         try:
             got = canonical(to_pandas(fn(sf_dir)))
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: ray query raised {exc!r}")
+            row["err"] = repr(exc)
             failures += 1
             continue
         dt = time.time() - t0
@@ -87,29 +105,55 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             exp = canonical(con.execute(oracles[name]).fetchdf())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL raised {exc!r}")
+            row["err"] = f"oracle: {exc!r}"
             failures += 1
             continue
+        row.update(engine_rows=len(got), oracle_rows=len(exp), secs=round(dt, 2),
+                   rows_match=len(got) == len(exp),
+                   schema_match=list(got.columns) == list(exp.columns))
         problems = []
         if len(got) != len(exp):
             problems.append(f"rows {len(got)} != {len(exp)}")
         if list(got.columns) != list(exp.columns):
             problems.append(f"cols {list(got.columns)} != {list(exp.columns)}")
-        elif value_hash(got) != value_hash(exp):
-            problems.append("value hash mismatch")
-            for col in got.columns:
-                if len(got) == len(exp) and not got[col].equals(exp[col]):
-                    diffs = (got[col] != exp[col]).sum()
-                    problems.append(f"  col {col}: {diffs} differing values; "
-                                    f"got[:3]={got[col].head(3).tolist()} exp[:3]={exp[col].head(3).tolist()}")
+            row["hash_match"] = False
+        else:
+            row["hash_match"] = (len(got) == len(exp)
+                                 and value_hash(got) == value_hash(exp))
+            if not row["hash_match"] and len(got) == len(exp):
+                problems.append("value hash mismatch")
+                for col in got.columns:
+                    if not got[col].equals(exp[col]):
+                        diffs = (got[col] != exp[col]).sum()
+                        problems.append(f"  col {col}: {diffs} differing values; "
+                                        f"got[:3]={got[col].head(3).tolist()} exp[:3]={exp[col].head(3).tolist()}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"PASS {name}: rows={len(got)} [{dt:.1f}s]")
     ray.shutdown()
+    if json_out:
+        n_oracle = sum(1 for r in report.values() if r["mode"] == "oracle")
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_oracle": n_oracle,
+            "n_rows_only": len(report) - n_oracle,
+            "n_fail": failures,
+            "results": report,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {len(report)} queries, {failures} failures")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf, only=sys.argv[2:] or None))
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf, only=argv[1:] or None, json_out=json_out))

@@ -57,6 +57,9 @@ def run(num_cpus: int, docs: int, reservation: bool) -> tuple[dict, str]:
 
     ds = ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
     tiles = render_tiles(ds.select_columns(["tile_id", "label_x", "label_y"]))
+    # materialize so stats() reports THIS execution (count() runs a plan
+    # copy whose stats are dropped); the output is tile rows — driver-small
+    tiles = tiles.materialize()
     n_tiles = tiles.count()
     wall = time.time() - t0
     stats = tiles.stats()

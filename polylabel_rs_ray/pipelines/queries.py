@@ -4014,6 +4014,7 @@ def build_queries() -> dict:
     from .queries_ext18 import build_queries_ext18
     from .queries_ext19 import build_queries_ext19
     from .queries_ext20 import build_queries_ext20
+    from .queries_ext21 import build_queries_ext21
 
     return {
         **build_queries_ext(),
@@ -4036,6 +4037,7 @@ def build_queries() -> dict:
         **build_queries_ext18(),
         **build_queries_ext19(),
         **build_queries_ext20(),
+        **build_queries_ext21(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4122,6 +4124,7 @@ def build_oracles() -> dict:
     from .queries_ext18 import build_oracles_ext18
     from .queries_ext19 import build_oracles_ext19
     from .queries_ext20 import build_oracles_ext20
+    from .queries_ext21 import build_oracles_ext21
 
     return {
         **build_oracles_ext(),
@@ -4144,6 +4147,7 @@ def build_oracles() -> dict:
         **build_oracles_ext18(),
         **build_oracles_ext19(),
         **build_oracles_ext20(),
+        **build_oracles_ext21(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

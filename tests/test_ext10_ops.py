@@ -85,5 +85,7 @@ def test_image_resizer_plumbing(ray_session):
     out1, out2 = r(batch), r(batch)
     assert out1.equals(out2) and out1.num_rows == 1  # deterministic, image-only
     assert (np.asarray(out1.column("orig_width")) >= 64).all()
-    with pytest.raises(NotImplementedError):
-        ImageResizer(decode="real")(batch.slice(0, 1))
+    # decode="real" parses actual PPM headers from the content store
+    real = ImageResizer(decode="real")(batch.slice(0, 1))
+    assert real.num_rows == 1
+    assert 16 <= real.column("orig_width").to_pylist()[0] <= 64

@@ -100,8 +100,8 @@ def test_audio_chunker_deterministic_and_bounded():
     assert out1.equals(out2)  # deterministic
     assert set(out1.column("doc_num").to_pylist()) == {1, 3}  # audio only
     assert all(len(p) == ch.n_samples * 2 for p in out1.column("pcm").to_pylist())
-    # real-decode hook is present and explicitly stubbed
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        AudioChunker(decode="real")(batch.slice(0, 1))
+    # decode="real" parses an actual RIFF/WAV payload from the content
+    # store; chunk count is duration-derived (decoded samples / chunk size)
+    real = AudioChunker(decode="real", chunk_s=0.5)(batch.slice(0, 1))
+    total = real.column("total_samples").to_pylist()[0]
+    assert real.num_rows == -(-total // 4000)  # ceil at the decoded 8 kHz

@@ -145,8 +145,9 @@ def test_media_pipeline(ray_session):
     a = f(t).column("features").to_pylist()[0]
     b = f(t).column("features").to_pylist()[0]
     assert a == b
-    with pytest.raises(NotImplementedError):
-        MediaFeaturizer(decode="real")._featurize("media://1/0")
+    # decode="real" genuinely decodes (PPM via the synthetic content store)
+    real = MediaFeaturizer(decode="real")._featurize("media://1/0", "image")
+    assert real[0] == 1.0 and 0 < real[1] <= 1 and 0 < real[2] <= 1
 
 def test_frame_sampler_pipeline(ray_session):
     from polylabel_rs_ray.stages.media import FrameSampler, frame_pipeline, explode_media_spans
@@ -166,9 +167,10 @@ def test_frame_sampler_pipeline(ray_session):
     fs = FrameSampler(n_frames=1)
     assert fs._frame("media://1/0", 0) == fs._frame("media://1/0", 0)
     assert fs._frame("media://1/0", 0) != fs._frame("media://1/0", 1)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        FrameSampler(decode="real")._frame("x", 0)
+    # decode="real" parses an actual Y4M stream from the content store
+    payloads, src, total = FrameSampler(decode="real")._sample_real("media://1/2")
+    assert len(payloads) == 4 and len(src) == 4 and total >= 2
+    assert all(len(p) == 32 * 18 * 3 for p in payloads)
     # the registered rows-only query aggregates per doc
     stats = q_video_frame_stats(SF).to_pandas()
     assert stats.n_frames.sum() == 4 * n_videos  # default n_frames=4

@@ -3544,8 +3544,14 @@ def q_part_pair_counts(sf_dir: str, n_parts: int | None = None):
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pyarrow")
     )
-    return grouped_aggregate(pairs, ["part_a", "part_b"],
-                             [("sum", "n_pairs", "n_pairs")])
+    # pair keys are ~unique (groups ~ rows): the hash-partitioned aggregate
+    # (one Arrow C++ group_by per partition) replaces the native sort-based
+    # aggregate, which is pathological at this cardinality (18 s -> ~1 s at
+    # sf0.1; see stages/agg.py::hash_grouped_aggregate)
+    from ..stages.agg import hash_grouped_aggregate
+
+    return hash_grouped_aggregate(pairs, ["part_a", "part_b"],
+                                  [("sum", "n_pairs", "n_pairs")])
 
 
 SQL_PART_PAIR_COUNTS = """

@@ -24,6 +24,15 @@
   partition actors holding resident edge shards.  Rows-only (iterative
   float algorithm); pytest pins it against a dense numpy power iteration
   on the same graph.
+
+  SIZE GATE (the minhash-verify/bloom pattern): the co-partitioned path
+  pays ~3 executions per iteration — pure overhead when the node domain
+  fits in one broadcastable vector.  Below ``PR_DENSE_MAX_NODES``
+  (override: ``GRAFT_PR_DENSE_MAX``) ``q_pagerank_parts`` runs the dense
+  histogram-reduce path instead: ranks broadcast via ``ray.put`` once per
+  iteration, each edge block emits ONE dense length-V partial inflow, the
+  reduce is an O(blocks) driver sum, no shuffle at all.  Equivalence of
+  the two engine paths is pytest-pinned (test_ext6_ops).
 * ``audio_chunk_stats`` — audio-decode plumbing end-to-end: docs ->
   media-span explode -> AudioChunker actor pool (fixed-duration PCM
   chunks, fake decode per the stub policy) -> per-doc chunk count and
@@ -40,6 +49,9 @@ import pyarrow.compute as pc
 PR_DAMPING = 0.85
 PR_ITERS = 8
 PR_TOPK = 20
+# dense-path gate: 4M nodes = a 32 MB float64 rank vector — comfortably
+# broadcastable; past this the co-partitioned state path takes over
+PR_DENSE_MAX_NODES = 4_000_000
 
 
 def _ray():
@@ -284,10 +296,101 @@ def pagerank_over_pairs(edges, node_ids: np.ndarray,
     return r
 
 
-def q_pagerank_parts(sf_dir: str):
+def pagerank_dense(edges, node_ids: np.ndarray,
+                   damping: float = PR_DAMPING, iters: int = PR_ITERS):
+    """DENSE small-domain path: weighted PageRank over an
+    (part_a, part_b, n_pairs) edge Dataset treated as undirected.
+    ``node_ids`` is the full sorted node domain (isolated nodes included —
+    they hold teleport-only rank; bounded by the PR_DENSE_MAX_NODES gate).
+    Each iteration is one streamed pass over the edge blocks with the rank
+    vector broadcast (``ray.put`` once per iteration): every block emits a
+    single dense length-V partial inflow vector and the reduce is an
+    O(blocks) driver sum — the histogram-reduce pattern, no shuffle.
+    Returns the final rank vector aligned with node_ids."""
+    ray = _ray()
+    V = len(node_ids)
+    ids_ref = ray.put(node_ids)
+
+    def _dense_sum(ds) -> np.ndarray:
+        # O(V x blocks) driver reduce — bounded by the dense gate
+        parts = ds.to_pandas()
+        acc = np.zeros(V, dtype=np.float64)
+        for row in parts["vec"]:
+            acc += np.asarray(row, dtype=np.float64)
+        return acc
+
+    # weighted degree s_u = sum of incident edge weights (one pass)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        a = batch.column("part_a").to_numpy().astype(np.int64)
+        b = batch.column("part_b").to_numpy().astype(np.int64)
+        w = batch.column("n_pairs").to_numpy().astype(np.float64)
+        vec = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(vec, np.searchsorted(ids, a), w)
+        np.add.at(vec, np.searchsorted(ids, b), w)
+        return pa.table({"vec": pa.array([vec], type=pa.list_(pa.float64()))})
+
+    s = _dense_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    r = np.full(V, 1.0 / V)
+    for _ in range(iters):
+        # rank-over-degree, zero for dangling nodes (their mass teleports)
+        rod = np.where(s > 0, r / np.maximum(s, 1.0e-300), 0.0)
+        rod_ref = ray.put(rod)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            rv = ray.get(rod_ref)
+            a = batch.column("part_a").to_numpy().astype(np.int64)
+            b = batch.column("part_b").to_numpy().astype(np.int64)
+            w = batch.column("n_pairs").to_numpy().astype(np.float64)
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            vec = np.zeros(len(ids), dtype=np.float64)
+            np.add.at(vec, ia, w * rv[ib])
+            np.add.at(vec, ib, w * rv[ia])
+            return pa.table({"vec": pa.array([vec], type=pa.list_(pa.float64()))})
+
+        inflow = _dense_sum(
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        dangling = float(r[s == 0].sum())
+        r = (1.0 - damping) / V + damping * (inflow + dangling / V)
+    return r
+
+
+def q_pagerank_parts(sf_dir: str, force_path: str | None = None):
+    import os
+
+    import pyarrow.parquet as pq
+
     from .queries import q_part_pair_counts
 
     ray = _ray()
+    dense_max = int(os.environ.get("GRAFT_PR_DENSE_MAX", PR_DENSE_MAX_NODES))
+    v_total = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    use_dense = force_path != "keyed" and (force_path == "dense"
+                                           or v_total <= dense_max)
+
+    if use_dense:
+        # aggregated pair graph: repartition to a few dense blocks BEFORE
+        # materializing — every one of the K iterations walks these blocks
+        edges = q_part_pair_counts(sf_dir).repartition(8).materialize()
+        node_ids = np.sort(
+            pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+            .column("p_partkey")
+            .to_numpy()
+            .astype(np.int64)
+        )
+        r = pagerank_dense(edges, node_ids)
+        order = np.lexsort((node_ids, -r))[:PR_TOPK]
+        return pa.table({
+            "p_partkey": pa.array(node_ids[order], type=pa.int64()),
+            "rank": pa.array(r[order], type=pa.float64()),
+        })
+
     edges = q_part_pair_counts(sf_dir)
     nodes = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey"]

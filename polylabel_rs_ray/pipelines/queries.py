@@ -895,10 +895,14 @@ def q_exact_dedup(sf_dir: str):
             "doc_id": batch.column("doc_id"),
         })
 
-    return (
-        ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count"))
+    from ..stages.agg import grouped_aggregate
+
+    # content hashes are ~unique: hash-partitioned final exchange
+    return grouped_aggregate(
+        ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True),
+        ["text_hash"],
+        [("min", "doc_id", "keep_doc_id"), ("count", None, "dup_count")],
+        high_cardinality=True,
     )
 
 
@@ -1252,6 +1256,7 @@ def q_orders_without_lineitems(sf_dir: str):
         orders.union(lines),
         ["o_orderkey"],
         [("max", "is_order", "has_order"), ("max", "is_line", "has_line")],
+        high_cardinality=True,  # order keys are ~unique
     )
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -2678,6 +2683,7 @@ def q_canonical_docs(sf_dir: str):
         ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True),
         ["text_hash"],
         [("max", "key", "best_key"), ("count", None, "dup_count")],
+        high_cardinality=True,  # content hashes are ~unique
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -2972,7 +2978,8 @@ def q_distinct_users_per_type(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     level1 = grouped_aggregate(
-        ds, ["event_type", "user_id"], [("count", None, "n")]
+        ds, ["event_type", "user_id"], [("count", None, "n")],
+        high_cardinality=True,  # pair keys ~ rows
     )
     return grouped_aggregate(
         level1, ["event_type"],
@@ -3593,6 +3600,7 @@ def q_conversion_funnel(sf_dir: str):
         ["user_id"],
         [("min", "t_view", "tv"), ("min", "t_click", "tc"),
          ("min", "t_purchase", "tp")],
+        high_cardinality=True,  # one group per user
     )
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -3912,7 +3920,8 @@ def q_event_types_per_user(sf_dir: str, n_parts: int | None = None):
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     pairs = grouped_aggregate(ds, ["user_id", "event_type"],
-                              [("count", None, "_n")])
+                              [("count", None, "_n")],
+                              high_cardinality=True)
 
     def to_parts(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy().astype(np.int64)

@@ -55,6 +55,7 @@ def q_sliding_window_users(sf_dir: str):
         ds.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True),
         ["ws_us", "user_id"],
         [("count", None, "_n")],
+        high_cardinality=True,  # (window, user) pairs ~ fanned-out rows
     )
     return grouped_aggregate(pairs, ["ws_us"], [("count", None, "n_users")])
 

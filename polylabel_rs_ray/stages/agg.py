@@ -23,9 +23,20 @@ import pyarrow.compute as pc
 _PARTIAL_FUNCS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 
 
-def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
+def grouped_aggregate(ds, keys: list[str], specs: list[tuple],
+                      high_cardinality: bool = False):
     """Partial-then-final groupby over a Ray Dataset; returns a Dataset
-    whose columns are ``keys + [alias for each spec]``."""
+    whose columns are ``keys + [alias for each spec]``.
+
+    ``high_cardinality=True``: the final exchange hash-partitions on
+    mix(keys) % P and aggregates each partition with one Arrow C++
+    group_by instead of Ray's native sort-based aggregate — the right
+    shape when groups ~ rows (per-user, per-pair, per-hash keys), where
+    the native aggregate's per-group merge is pathological (measured ~4 s
+    per 37k-row block).  Results are identical for integer aggregates;
+    float sums differ only in association order (callers needing
+    bit-exactness use integer columns, as documented above).  Key columns
+    must be integer or string (the partitioner hashes both)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     # dedupe identical partial computations (e.g. count + mean both need a
@@ -77,15 +88,18 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
         ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    final_aggs = []
-    for func, _col, name in partial_aggs:
-        if func in ("count", "sum"):
-            final_aggs.append(Sum(name, alias_name=name))
-        elif func == "min":
-            final_aggs.append(Min(name, alias_name=name))
-        elif func == "max":
-            final_aggs.append(Max(name, alias_name=name))
-    reduced = partial.groupby(keys).aggregate(*final_aggs)
+    if high_cardinality:
+        reduced = _hash_exchange_aggregate(partial, keys, partial_aggs)
+    else:
+        final_aggs = []
+        for func, _col, name in partial_aggs:
+            if func in ("count", "sum"):
+                final_aggs.append(Sum(name, alias_name=name))
+            elif func == "min":
+                final_aggs.append(Min(name, alias_name=name))
+            elif func == "max":
+                final_aggs.append(Max(name, alias_name=name))
+        reduced = partial.groupby(keys).aggregate(*final_aggs)
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {k: batch.column(k) for k in keys}
@@ -102,6 +116,63 @@ def grouped_aggregate(ds, keys: list[str], specs: list[tuple]):
         return pa.table(cols)
 
     return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _key_hash(batch: pa.Table, keys: list[str]):
+    """Deterministic vectorized uint64 hash of the key columns: splitmix
+    mixing for integer columns, polars' fixed-seed Rust hash for strings
+    (Python's ``hash()`` is per-process salted — never use it here)."""
+    import numpy as np
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch.column(k)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy().astype(np.uint64)
+        else:
+            import polars as pl
+
+            v = pl.from_arrow(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            ).hash(seed=0).to_numpy().astype(np.uint64)
+        h = (h * GOLD) ^ ((v * GOLD) >> np.uint64(29))
+    return h
+
+
+def _hash_exchange_aggregate(partial, keys: list[str],
+                             partial_aggs: list[tuple],
+                             n_parts: int | None = None):
+    """Final exchange for high-cardinality keys: hash partition + one Arrow
+    C++ group_by per partition.  Input blocks carry ``keys`` + the partial
+    columns; output matches the native aggregate's (keys + partial names)."""
+    import numpy as np
+
+    from .util import coalesce_for_shuffle, shuffle_blocks
+
+    P = int(n_parts or min(32, shuffle_blocks()))
+    final_func = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    agg_spec = [(name, final_func[func]) for func, _col, name in partial_aggs]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (_key_hash(batch, keys) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("__gpart", pa.array(part, type=pa.int64()))
+
+    def agg_partition(group: pa.Table) -> pa.Table:
+        out = group.drop_columns(["__gpart"]).group_by(keys).aggregate(agg_spec)
+        cols = {k: out.column(k) for k in keys}
+        for (func, _col, name), (_n, f2) in zip(partial_aggs, agg_spec):
+            cols[name] = out.column(f"{name}_{f2}")
+        return pa.table(cols)
+
+    return (
+        coalesce_for_shuffle(
+            partial.map_batches(add_part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        )
+        .groupby("__gpart")
+        .map_groups(agg_partition, batch_format="pyarrow")
+    )
 
 
 def hash_grouped_aggregate(ds, keys: list[str], specs: list[tuple],

@@ -98,7 +98,12 @@ def flagship_pipeline(sf_dir: str, *, encoder_concurrency=None,
     ds = read_docs(sf_dir)
     ds = label_points(ds)
     ds = _encode_stage(ds, encoder_concurrency)
-    return render_tiles(ds, salt=salt)
+    # project BEFORE the tile shuffle: the renderer needs 3 columns; spans +
+    # rings riding through the groupby would multiply the exchange ~50x
+    # (measured 49 s -> bench-level on 120k docs)
+    return render_tiles(
+        ds.select_columns(["tile_id", "label_x", "label_y"]), salt=salt
+    )
 
 
 def labeled_output(sf_dir: str, *, encoder_concurrency=None):

@@ -4030,6 +4030,8 @@ def build_queries() -> dict:
     from .queries_ext19 import build_queries_ext19
     from .queries_ext20 import build_queries_ext20
     from .queries_ext21 import build_queries_ext21
+    from .queries_ext22 import build_queries_ext22
+    from .queries_ext23 import build_queries_ext23
 
     return {
         **build_queries_ext(),
@@ -4053,6 +4055,8 @@ def build_queries() -> dict:
         **build_queries_ext19(),
         **build_queries_ext20(),
         **build_queries_ext21(),
+        **build_queries_ext22(),
+        **build_queries_ext23(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4140,6 +4144,8 @@ def build_oracles() -> dict:
     from .queries_ext19 import build_oracles_ext19
     from .queries_ext20 import build_oracles_ext20
     from .queries_ext21 import build_oracles_ext21
+    from .queries_ext22 import build_oracles_ext22
+    from .queries_ext23 import build_oracles_ext23
 
     return {
         **build_oracles_ext(),
@@ -4163,6 +4169,8 @@ def build_oracles() -> dict:
         **build_oracles_ext19(),
         **build_oracles_ext20(),
         **build_oracles_ext21(),
+        **build_oracles_ext22(),
+        **build_oracles_ext23(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

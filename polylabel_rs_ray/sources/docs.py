@@ -186,6 +186,17 @@ def attach_interleaved(batch: pa.Table) -> pa.Table:
     return out
 
 
+# read_docs block sizing: a single parquet file reads as ONE block, which
+# would serialize the downstream label chain (measured 12-17x on 120k docs).
+# Below this row count the doc_id column is cheap enough (8 bytes/row) to
+# re-split into ~300-row blocks (the label stage's skew-balancing size);
+# above it — the 10^12-doc deployment — the table is many files/fragments
+# and the reader's natural sharding provides the parallelism, so a
+# repartition of the id column would be a pointless all-to-all.
+RESPLIT_MAX_ROWS = 50_000_000
+LABEL_BLOCK_ROWS = 300
+
+
 def read_docs(sf_dir: str, columns: list[str] | None = None):
     """Interleaved-document Dataset derived from the sf documents table.
 
@@ -193,8 +204,21 @@ def read_docs(sf_dir: str, columns: list[str] | None = None):
     (input_hint); in this sandbox the same logical table is synthesized
     deterministically from the documents table's doc_id column — only the
     needed column leaves storage (prune-at-read).  The format is resolved by
-    ``sources.table.read_table`` (Lance if available, Parquet fallback)."""
+    ``sources.table.read_table`` (Lance if available, Parquet fallback).
+    Small single-file tables are re-split to ~300-row blocks so the label
+    chain parallelizes (see RESPLIT_MAX_ROWS note above)."""
     from .table import read_table
+    from ..stages.util import shuffle_blocks
 
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    rows = None
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    except Exception:  # noqa: BLE001 — non-parquet source: trust its sharding
+        pass
+    if rows and rows <= RESPLIT_MAX_ROWS:
+        target = int(min(max(rows // LABEL_BLOCK_ROWS, shuffle_blocks()), 4096))
+        ds = ds.repartition(target)
     return ds.map_batches(attach_interleaved, batch_format="pyarrow", zero_copy_batch=True)

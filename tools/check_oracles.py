@@ -33,7 +33,15 @@ def to_pandas(res) -> pd.DataFrame:
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if df.shape[1] == 0 and df.shape[0] == 0:
+        # Ray quirk (pinned in tests): to_pandas() on an all-empty-blocks
+        # Dataset drops the column set even though ds.schema() is right —
+        # rebuild the empty frame from the schema
+        schema = res.schema()
+        if schema is not None:
+            df = df.reindex(columns=list(schema.names))
+    return df
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:

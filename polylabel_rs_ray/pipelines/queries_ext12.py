@@ -70,7 +70,15 @@ SQL_SLIDING_WINDOW_USERS = """
 
 
 def q_inverted_index(sf_dir: str, n_parts: int | None = None):
-    from ..stages.agg import grouped_aggregate
+    """ONE hash exchange on mix(word) % P: every copy of a word lands in
+    the same partition, so global pair dedup + posting assembly happen
+    there (the old shape paid a second shuffle for a ~unique-key pair
+    aggregate first — the pathological case hash_grouped_aggregate exists
+    for).  The map side dedupes (word, doc) per block (Arrow C++
+    group_by), the reduce side dedupes across blocks, sorts once, and
+    joins each word's postings with one ``binary_join`` over a ListArray
+    view — no per-word Python anywhere."""
+    from ..stages.agg import _key_hash
     from ..stages.util import coalesce_for_shuffle
     from .queries_ext5 import _word_lists
 
@@ -81,53 +89,47 @@ def q_inverted_index(sf_dir: str, n_parts: int | None = None):
     def word_doc(batch: pa.Table) -> pa.Table:
         flat, counts, doc_idx = _word_lists(batch)
         did = batch.column("doc_id").to_numpy().astype(np.int64)
-        return pa.table({
+        pairs = pa.table({
             "word": flat,
             "doc_id": pa.array(did[doc_idx], type=pa.int64()),
-        })
-
-    pairs = grouped_aggregate(
-        ds.map_batches(word_doc, batch_format="pyarrow", zero_copy_batch=True),
-        ["word", "doc_id"],
-        [("count", None, "_n")],
-    )
-
-    def to_parts(batch: pa.Table) -> pa.Table:
-        words = batch.column("word")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        # deterministic word-hash partitioner (crc32 over the utf8 bytes)
-        import zlib
-
-        h = np.fromiter(
-            (zlib.crc32(w.encode()) for w in words.to_pylist()),
-            dtype=np.int64,
-            count=len(words),
-        )
-        return pa.table({
-            "part": pa.array(h % P, type=pa.int64()),
-            "word": words,
-            "doc_id": batch.column("doc_id"),
-        })
+        }).group_by(["word", "doc_id"]).aggregate([])  # per-block dedup
+        part = (_key_hash(pairs, ["word"]) % np.uint64(P)).astype(np.int64)
+        return pairs.append_column("part", pa.array(part, type=pa.int64()))
 
     def join_postings(group: pa.Table) -> pa.Table:
-        w = group.column("word").to_pandas().to_numpy()
-        did = group.column("doc_id").to_numpy().astype(np.int64)
-        order = np.lexsort((did, w))
-        w, did = w[order], did[order]
-        new_seg = np.r_[True, w[1:] != w[:-1]]
-        starts = np.flatnonzero(new_seg)
-        ends = np.r_[starts[1:], len(w)]
-        joined = [",".join(map(str, did[s:e])) for s, e in zip(starts, ends)]
+        # cross-block dedup (C++ hash), then one sort drives everything
+        t = group.drop_columns(["part"]).group_by(["word", "doc_id"]).aggregate([])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("word", "ascending"), ("doc_id", "ascending")]
+        ))
+        w = t.column("word")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        n = len(w)
+        if n == 0:
+            return pa.table({
+                "word": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "postings": pa.array([], type=pa.string()),
+            })
+        neq = pc.not_equal(w.slice(1), w.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(neq) + 1]
+        ends = np.r_[starts[1:], n]
+        did_str = pc.cast(t.column("doc_id"), pa.string())
+        if isinstance(did_str, pa.ChunkedArray):
+            did_str = did_str.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, n].astype(np.int32), type=pa.int32()), did_str
+        )
         return pa.table({
-            "word": pa.array(w[starts], type=pa.string()),
-            "df": pa.array(ends - starts, type=pa.int64()),
-            "postings": pa.array(joined, type=pa.string()),
+            "word": w.take(pa.array(starts, type=pa.int64())),
+            "df": pa.array((ends - starts).astype(np.int64), type=pa.int64()),
+            "postings": pc.binary_join(lists, ","),
         })
 
     return (
         coalesce_for_shuffle(
-            pairs.map_batches(to_parts, batch_format="pyarrow", zero_copy_batch=True)
+            ds.map_batches(word_doc, batch_format="pyarrow", zero_copy_batch=True)
         )
         .groupby("part")
         .map_groups(join_postings, batch_format="pyarrow")

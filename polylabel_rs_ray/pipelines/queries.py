@@ -4032,6 +4032,7 @@ def build_queries() -> dict:
     from .queries_ext21 import build_queries_ext21
     from .queries_ext22 import build_queries_ext22
     from .queries_ext23 import build_queries_ext23
+    from .queries_ext24 import build_queries_ext24
 
     return {
         **build_queries_ext(),
@@ -4057,6 +4058,7 @@ def build_queries() -> dict:
         **build_queries_ext21(),
         **build_queries_ext22(),
         **build_queries_ext23(),
+        **build_queries_ext24(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4146,6 +4148,7 @@ def build_oracles() -> dict:
     from .queries_ext21 import build_oracles_ext21
     from .queries_ext22 import build_oracles_ext22
     from .queries_ext23 import build_oracles_ext23
+    from .queries_ext24 import build_oracles_ext24
 
     return {
         **build_oracles_ext(),
@@ -4171,6 +4174,7 @@ def build_oracles() -> dict:
         **build_oracles_ext21(),
         **build_oracles_ext22(),
         **build_oracles_ext23(),
+        **build_oracles_ext24(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -31,7 +31,13 @@ from ..stages.label import label_points
 from ..stages.tiles import render_tiles
 
 
-PROBE_DOCS = 10_000  # bounded prefix the skew probe labels (cheap vs full run)
+PROBE_DOCS = 4_000  # bounded prefix the skew probe labels (cheap vs full run)
+# The probe only needs TILE-level label positions (tiles are 128 units,
+# config.DEFAULT_TILE_RES): labeling at tolerance 32 terminates the quadtree
+# search orders of magnitude earlier than per-doc tolerances (often <=1) and
+# moves a label by <32 units — tile histogram statistics (hottest/mean) are
+# insensitive to that, and the sentinel (0,0) hot tile is tolerance-exact.
+PROBE_TOLERANCE = 32.0
 SKEW_THRESHOLD = 4.0  # hottest-tile / mean-tile row ratio that triggers salting
 MAX_SALT = 8
 
@@ -77,9 +83,18 @@ def probe_tile_skew(sf_dir: str, *, probe_docs: int = PROBE_DOCS,
     histogram (result is <= #tiles rows — driver-small), and derive the salt
     factor.  Relative tile skew in a prefix tracks global skew because doc
     order is uncorrelated with geometry."""
+    import pyarrow.compute as pc
+
     from ..stages.agg import grouped_aggregate
 
-    ds = read_docs(sf_dir).limit(probe_docs)
+    def coarsen_tolerance(batch):
+        idx = batch.schema.get_field_index("tolerance")
+        coarse = pc.max_element_wise(batch.column("tolerance"), PROBE_TOLERANCE)
+        return batch.set_column(idx, "tolerance", coarse)
+
+    ds = read_docs(sf_dir, limit=probe_docs).map_batches(
+        coarsen_tolerance, batch_format="pyarrow", zero_copy_batch=True
+    )
     ds = label_points(ds)
     ds = _encode_stage(ds, encoder_concurrency)
     hist = grouped_aggregate(ds, ["tile_id"], [("count", None, "n")]).to_pandas()

@@ -197,7 +197,8 @@ RESPLIT_MAX_ROWS = 50_000_000
 LABEL_BLOCK_ROWS = 300
 
 
-def read_docs(sf_dir: str, columns: list[str] | None = None):
+def read_docs(sf_dir: str, columns: list[str] | None = None,
+              limit: int | None = None):
     """Interleaved-document Dataset derived from the sf documents table.
 
     On a real deployment this is ``ray.data.read_lance`` over the Lance table
@@ -206,7 +207,13 @@ def read_docs(sf_dir: str, columns: list[str] | None = None):
     needed column leaves storage (prune-at-read).  The format is resolved by
     ``sources.table.read_table`` (Lance if available, Parquet fallback).
     Small single-file tables are re-split to ~300-row blocks so the label
-    chain parallelizes (see RESPLIT_MAX_ROWS note above)."""
+    chain parallelizes (see RESPLIT_MAX_ROWS note above).
+
+    ``limit`` truncates BEFORE the repartition and synthesis stages — a
+    ``.limit()`` applied downstream of read_docs sits after the re-split
+    barrier and the span/ring synthesis, so the whole table gets synthesized
+    while the limit races it (measured: the skew probe spent ~3x its label
+    time there).  Pushing it here means only ``limit`` rows are ever built."""
     from .table import read_table
     from ..stages.util import shuffle_blocks
 
@@ -218,6 +225,9 @@ def read_docs(sf_dir: str, columns: list[str] | None = None):
         rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     except Exception:  # noqa: BLE001 — non-parquet source: trust its sharding
         pass
+    if limit is not None:
+        ds = ds.limit(limit)
+        rows = min(rows, limit) if rows else limit
     if rows and rows <= RESPLIT_MAX_ROWS:
         target = int(min(max(rows // LABEL_BLOCK_ROWS, shuffle_blocks()), 4096))
         ds = ds.repartition(target)

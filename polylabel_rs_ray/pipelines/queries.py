@@ -4033,6 +4033,7 @@ def build_queries() -> dict:
     from .queries_ext22 import build_queries_ext22
     from .queries_ext23 import build_queries_ext23
     from .queries_ext24 import build_queries_ext24
+    from .queries_ext25 import build_queries_ext25
 
     return {
         **build_queries_ext(),
@@ -4059,6 +4060,7 @@ def build_queries() -> dict:
         **build_queries_ext22(),
         **build_queries_ext23(),
         **build_queries_ext24(),
+        **build_queries_ext25(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4149,6 +4151,7 @@ def build_oracles() -> dict:
     from .queries_ext22 import build_oracles_ext22
     from .queries_ext23 import build_oracles_ext23
     from .queries_ext24 import build_oracles_ext24
+    from .queries_ext25 import build_oracles_ext25
 
     return {
         **build_oracles_ext(),
@@ -4175,6 +4178,7 @@ def build_oracles() -> dict:
         **build_oracles_ext22(),
         **build_oracles_ext23(),
         **build_oracles_ext24(),
+        **build_oracles_ext25(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4034,6 +4034,7 @@ def build_queries() -> dict:
     from .queries_ext23 import build_queries_ext23
     from .queries_ext24 import build_queries_ext24
     from .queries_ext25 import build_queries_ext25
+    from .queries_ext26 import build_queries_ext26
 
     return {
         **build_queries_ext(),
@@ -4061,6 +4062,7 @@ def build_queries() -> dict:
         **build_queries_ext23(),
         **build_queries_ext24(),
         **build_queries_ext25(),
+        **build_queries_ext26(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4152,6 +4154,7 @@ def build_oracles() -> dict:
     from .queries_ext23 import build_oracles_ext23
     from .queries_ext24 import build_oracles_ext24
     from .queries_ext25 import build_oracles_ext25
+    from .queries_ext26 import build_oracles_ext26
 
     return {
         **build_oracles_ext(),
@@ -4179,6 +4182,7 @@ def build_oracles() -> dict:
         **build_oracles_ext23(),
         **build_oracles_ext24(),
         **build_oracles_ext25(),
+        **build_oracles_ext26(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4035,6 +4035,7 @@ def build_queries() -> dict:
     from .queries_ext24 import build_queries_ext24
     from .queries_ext25 import build_queries_ext25
     from .queries_ext26 import build_queries_ext26
+    from .queries_ext27 import build_queries_ext27
 
     return {
         **build_queries_ext(),
@@ -4063,6 +4064,7 @@ def build_queries() -> dict:
         **build_queries_ext24(),
         **build_queries_ext25(),
         **build_queries_ext26(),
+        **build_queries_ext27(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4155,6 +4157,7 @@ def build_oracles() -> dict:
     from .queries_ext24 import build_oracles_ext24
     from .queries_ext25 import build_oracles_ext25
     from .queries_ext26 import build_oracles_ext26
+    from .queries_ext27 import build_oracles_ext27
 
     return {
         **build_oracles_ext(),
@@ -4183,6 +4186,7 @@ def build_oracles() -> dict:
         **build_oracles_ext24(),
         **build_oracles_ext25(),
         **build_oracles_ext26(),
+        **build_oracles_ext27(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4036,6 +4036,7 @@ def build_queries() -> dict:
     from .queries_ext25 import build_queries_ext25
     from .queries_ext26 import build_queries_ext26
     from .queries_ext27 import build_queries_ext27
+    from .queries_ext28 import build_queries_ext28
 
     return {
         **build_queries_ext(),
@@ -4065,6 +4066,7 @@ def build_queries() -> dict:
         **build_queries_ext25(),
         **build_queries_ext26(),
         **build_queries_ext27(),
+        **build_queries_ext28(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4158,6 +4160,7 @@ def build_oracles() -> dict:
     from .queries_ext25 import build_oracles_ext25
     from .queries_ext26 import build_oracles_ext26
     from .queries_ext27 import build_oracles_ext27
+    from .queries_ext28 import build_oracles_ext28
 
     return {
         **build_oracles_ext(),
@@ -4187,6 +4190,7 @@ def build_oracles() -> dict:
         **build_oracles_ext25(),
         **build_oracles_ext26(),
         **build_oracles_ext27(),
+        **build_oracles_ext28(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4037,6 +4037,7 @@ def build_queries() -> dict:
     from .queries_ext26 import build_queries_ext26
     from .queries_ext27 import build_queries_ext27
     from .queries_ext28 import build_queries_ext28
+    from .queries_ext29 import build_queries_ext29
 
     return {
         **build_queries_ext(),
@@ -4067,6 +4068,7 @@ def build_queries() -> dict:
         **build_queries_ext26(),
         **build_queries_ext27(),
         **build_queries_ext28(),
+        **build_queries_ext29(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4161,6 +4163,7 @@ def build_oracles() -> dict:
     from .queries_ext26 import build_oracles_ext26
     from .queries_ext27 import build_oracles_ext27
     from .queries_ext28 import build_oracles_ext28
+    from .queries_ext29 import build_oracles_ext29
 
     return {
         **build_oracles_ext(),
@@ -4191,6 +4194,7 @@ def build_oracles() -> dict:
         **build_oracles_ext26(),
         **build_oracles_ext27(),
         **build_oracles_ext28(),
+        **build_oracles_ext29(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -47,11 +47,24 @@ def q_bbox_union_area(sf_dir: str, n_parts: int | None = None):
     )
 
     # slab boundaries: sorted distinct edge xs (bounded by geometry x
-    # offset modulus — the broadcast-small-side of this sweep)
-    edges = boxes.select_columns(["bx0", "bx1"]).to_pandas()
-    xs = np.unique(np.concatenate([
-        edges["bx0"].to_numpy(), edges["bx1"].to_numpy()
-    ]))
+    # offset modulus — the broadcast-small-side of this sweep).  The
+    # distinct runs DISTRIBUTED (per-block unique + one small exchange) so
+    # the driver only ever holds the ~8k boundary values, never a per-doc
+    # column.
+    from ..stages.agg import grouped_aggregate
+
+    def edge_xs(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            batch.column("bx0").to_numpy(), batch.column("bx1").to_numpy()
+        ]))
+        return pa.table({"x": pa.array(u, type=pa.float64())})
+
+    xs_tbl = grouped_aggregate(
+        boxes.map_batches(edge_xs, batch_format="pyarrow", zero_copy_batch=True),
+        ["x"],
+        [("count", None, "n")],
+    ).to_pandas()
+    xs = np.sort(xs_tbl["x"].to_numpy())
     xs_ref = ray.put(xs)
 
     def incidences(batch: pa.Table) -> pa.Table:

@@ -4038,6 +4038,7 @@ def build_queries() -> dict:
     from .queries_ext27 import build_queries_ext27
     from .queries_ext28 import build_queries_ext28
     from .queries_ext29 import build_queries_ext29
+    from .queries_ext30 import build_queries_ext30
 
     return {
         **build_queries_ext(),
@@ -4069,6 +4070,7 @@ def build_queries() -> dict:
         **build_queries_ext27(),
         **build_queries_ext28(),
         **build_queries_ext29(),
+        **build_queries_ext30(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4164,6 +4166,7 @@ def build_oracles() -> dict:
     from .queries_ext27 import build_oracles_ext27
     from .queries_ext28 import build_oracles_ext28
     from .queries_ext29 import build_oracles_ext29
+    from .queries_ext30 import build_oracles_ext30
 
     return {
         **build_oracles_ext(),
@@ -4195,6 +4198,7 @@ def build_oracles() -> dict:
         **build_oracles_ext27(),
         **build_oracles_ext28(),
         **build_oracles_ext29(),
+        **build_oracles_ext30(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

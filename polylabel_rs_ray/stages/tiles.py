@@ -4,10 +4,11 @@
 This is the wide stage: rows are grouped by ``tile_id``
 (``ds.groupby("tile_id").map_groups(...)`` — the one all-to-all shuffle in
 the flagship pipeline) and each group renders independently.  Raster
-payloads are raw little-endian uint32 grids (PNG encoding is out of scope
-in this container — the bytes layout, schema and plumbing are the real
-thing); vector payloads are the tile-clipped zone rectangles plus the
-points, serialized as plain float64 arrays.
+payloads are raw little-endian uint32 grids here; real spec-compliant
+PNG encoding of the grids lives in ``functions/png.py`` (pure-stdlib
+codec) and runs as a downstream stateless map — see the
+``tile_png_stats`` query.  Vector payloads are the tile-clipped zone
+rectangles plus the points, serialized as plain float64 arrays.
 """
 
 from __future__ import annotations

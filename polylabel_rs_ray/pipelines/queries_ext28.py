@@ -20,11 +20,15 @@ Distributed shape:
    closure index — built once, ``ray.put`` once (~10 MB per 10^6 edges;
    beyond ~10^8 edges the documented scale path is a wedge/edge hash-join
    exchange instead of the broadcast probe).
-3. wedge generation is hash-partitioned by source: each partition expands
-   its sources' out-neighbor pairs with the segmented-ranges trick (pure
-   numpy), probes the sorted packed edge set with ONE searchsorted, and
-   emits per-node triangle-count partials; a high-cardinality aggregate
-   sums them per part.
+3. wedge generation is partitioned by source: the oriented edges (already
+   driver-resident from step 2) are lexsorted by (src, dst) ONCE and cut
+   into P contiguous blocks at source boundaries — every source's
+   out-neighborhood lives in exactly one block, so wedge expansion is a
+   plain ``map_batches`` with ZERO shuffle (no groupby sort exchange).
+   Each block expands its sources' out-neighbor pairs with the
+   segmented-ranges trick (pure numpy), probes the sorted packed edge set
+   with ONE searchsorted, and emits per-node triangle-count partials; a
+   high-cardinality aggregate sums them per part.
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ def _ray():
 def q_triangle_parts(sf_dir: str, n_parts: int | None = None):
     from ..stages.agg import hash_grouped_aggregate
     from ..stages.util import shuffle_blocks
-    from .queries import _hash_part, q_part_pair_counts
+    from .queries import q_part_pair_counts
 
     ray = _ray()
     P = int(n_parts or min(32, shuffle_blocks()))
@@ -69,13 +73,27 @@ def q_triangle_parts(sf_dir: str, n_parts: int | None = None):
     node_of_rank[rank] = nodes
     index_ref = ray.put((packed, node_of_rank))
 
-    # 3. wedge partitions: Dataset over the oriented edges, hashed by source
-    edge_tbl = pa.table({
-        "part": pa.array(_hash_part(src, P), type=pa.int64()),
-        "src": pa.array(src, type=pa.int64()),
-        "dst": pa.array(dst, type=pa.int64()),
-    })
-    ds = ray.data.from_arrow(edge_tbl)
+    # 3. wedge blocks: lexsort the oriented edges by (src, dst) once, cut
+    # into P contiguous blocks at source boundaries (a source's whole
+    # out-neighborhood stays in one block) -> wedge expansion needs NO
+    # groupby exchange, just a stateless map over the blocks
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.r_[True, src[1:] != src[:-1]]  # source-run boundaries
+    run_ix = np.flatnonzero(starts)
+    cut_of_run = np.minimum(
+        np.searchsorted(run_ix, np.linspace(0, len(src), P + 1)), len(run_ix) - 1
+    )
+    cuts = np.unique(np.r_[0, run_ix[cut_of_run], len(src)])
+    blocks = [
+        pa.table({
+            "src": pa.array(src[a:b], type=pa.int64()),
+            "dst": pa.array(dst[a:b], type=pa.int64()),
+        })
+        for a, b in zip(cuts[:-1], cuts[1:])
+        if b > a
+    ]
+    ds = ray.data.from_arrow(blocks)
 
     def count_wedges(group: pa.Table) -> pa.Table:
         s = group.column("src").to_numpy().astype(np.int64)
@@ -87,10 +105,9 @@ def q_triangle_parts(sf_dir: str, n_parts: int | None = None):
         if len(s) == 0:
             return empty
         packed_idx, ranks_to_nodes = ray.get(index_ref)
-        order = np.lexsort((d, s))
-        s, d = s[order], d[order]
         # segmented-ranges pair expansion: neighbor j pairs with every
-        # EARLIER neighbor i of its source (i < j => d[i] < d[j]: rank order)
+        # EARLIER neighbor i of its source (i < j => d[i] < d[j]: rank
+        # order — the driver's (src, dst) lexsort guarantees it)
         new_seg = np.r_[True, s[1:] != s[:-1]]
         seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(len(s)), 0))
         cnt = np.arange(len(s)) - seg_start
@@ -115,7 +132,9 @@ def q_triangle_parts(sf_dir: str, n_parts: int | None = None):
             "n": pa.array(cc.astype(np.int64), type=pa.int64()),
         })
 
-    partials = ds.groupby("part").map_groups(count_wedges, batch_format="pyarrow")
+    partials = ds.map_batches(
+        count_wedges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     return hash_grouped_aggregate(partials, ["part_key"], [("sum", "n", "n_tri")])
 
 

@@ -4039,6 +4039,7 @@ def build_queries() -> dict:
     from .queries_ext28 import build_queries_ext28
     from .queries_ext29 import build_queries_ext29
     from .queries_ext30 import build_queries_ext30
+    from .queries_ext31 import build_queries_ext31
 
     return {
         **build_queries_ext(),
@@ -4071,6 +4072,7 @@ def build_queries() -> dict:
         **build_queries_ext28(),
         **build_queries_ext29(),
         **build_queries_ext30(),
+        **build_queries_ext31(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4167,6 +4169,7 @@ def build_oracles() -> dict:
     from .queries_ext28 import build_oracles_ext28
     from .queries_ext29 import build_oracles_ext29
     from .queries_ext30 import build_oracles_ext30
+    from .queries_ext31 import build_oracles_ext31
 
     return {
         **build_oracles_ext(),
@@ -4199,6 +4202,7 @@ def build_oracles() -> dict:
         **build_oracles_ext28(),
         **build_oracles_ext29(),
         **build_oracles_ext30(),
+        **build_oracles_ext31(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4040,6 +4040,7 @@ def build_queries() -> dict:
     from .queries_ext29 import build_queries_ext29
     from .queries_ext30 import build_queries_ext30
     from .queries_ext31 import build_queries_ext31
+    from .queries_ext32 import build_queries_ext32
 
     return {
         **build_queries_ext(),
@@ -4073,6 +4074,7 @@ def build_queries() -> dict:
         **build_queries_ext29(),
         **build_queries_ext30(),
         **build_queries_ext31(),
+        **build_queries_ext32(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4170,6 +4172,7 @@ def build_oracles() -> dict:
     from .queries_ext29 import build_oracles_ext29
     from .queries_ext30 import build_oracles_ext30
     from .queries_ext31 import build_oracles_ext31
+    from .queries_ext32 import build_oracles_ext32
 
     return {
         **build_oracles_ext(),
@@ -4203,6 +4206,7 @@ def build_oracles() -> dict:
         **build_oracles_ext29(),
         **build_oracles_ext30(),
         **build_oracles_ext31(),
+        **build_oracles_ext32(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

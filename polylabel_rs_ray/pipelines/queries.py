@@ -4041,6 +4041,7 @@ def build_queries() -> dict:
     from .queries_ext30 import build_queries_ext30
     from .queries_ext31 import build_queries_ext31
     from .queries_ext32 import build_queries_ext32
+    from .queries_ext33 import build_queries_ext33
 
     return {
         **build_queries_ext(),
@@ -4075,6 +4076,7 @@ def build_queries() -> dict:
         **build_queries_ext30(),
         **build_queries_ext31(),
         **build_queries_ext32(),
+        **build_queries_ext33(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4173,6 +4175,7 @@ def build_oracles() -> dict:
     from .queries_ext30 import build_oracles_ext30
     from .queries_ext31 import build_oracles_ext31
     from .queries_ext32 import build_oracles_ext32
+    from .queries_ext33 import build_oracles_ext33
 
     return {
         **build_oracles_ext(),
@@ -4207,6 +4210,7 @@ def build_oracles() -> dict:
         **build_oracles_ext30(),
         **build_oracles_ext31(),
         **build_oracles_ext32(),
+        **build_oracles_ext33(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4042,6 +4042,7 @@ def build_queries() -> dict:
     from .queries_ext31 import build_queries_ext31
     from .queries_ext32 import build_queries_ext32
     from .queries_ext33 import build_queries_ext33
+    from .queries_ext34 import build_queries_ext34
 
     return {
         **build_queries_ext(),
@@ -4077,6 +4078,7 @@ def build_queries() -> dict:
         **build_queries_ext31(),
         **build_queries_ext32(),
         **build_queries_ext33(),
+        **build_queries_ext34(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4176,6 +4178,7 @@ def build_oracles() -> dict:
     from .queries_ext31 import build_oracles_ext31
     from .queries_ext32 import build_oracles_ext32
     from .queries_ext33 import build_oracles_ext33
+    from .queries_ext34 import build_oracles_ext34
 
     return {
         **build_oracles_ext(),
@@ -4211,6 +4214,7 @@ def build_oracles() -> dict:
         **build_oracles_ext31(),
         **build_oracles_ext32(),
         **build_oracles_ext33(),
+        **build_oracles_ext34(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4043,6 +4043,7 @@ def build_queries() -> dict:
     from .queries_ext32 import build_queries_ext32
     from .queries_ext33 import build_queries_ext33
     from .queries_ext34 import build_queries_ext34
+    from .queries_ext35 import build_queries_ext35
 
     return {
         **build_queries_ext(),
@@ -4079,6 +4080,7 @@ def build_queries() -> dict:
         **build_queries_ext32(),
         **build_queries_ext33(),
         **build_queries_ext34(),
+        **build_queries_ext35(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4179,6 +4181,7 @@ def build_oracles() -> dict:
     from .queries_ext32 import build_oracles_ext32
     from .queries_ext33 import build_oracles_ext33
     from .queries_ext34 import build_oracles_ext34
+    from .queries_ext35 import build_oracles_ext35
 
     return {
         **build_oracles_ext(),
@@ -4215,6 +4218,7 @@ def build_oracles() -> dict:
         **build_oracles_ext32(),
         **build_oracles_ext33(),
         **build_oracles_ext34(),
+        **build_oracles_ext35(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

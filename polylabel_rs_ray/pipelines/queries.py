@@ -4044,6 +4044,7 @@ def build_queries() -> dict:
     from .queries_ext33 import build_queries_ext33
     from .queries_ext34 import build_queries_ext34
     from .queries_ext35 import build_queries_ext35
+    from .queries_ext36 import build_queries_ext36
 
     return {
         **build_queries_ext(),
@@ -4081,6 +4082,7 @@ def build_queries() -> dict:
         **build_queries_ext33(),
         **build_queries_ext34(),
         **build_queries_ext35(),
+        **build_queries_ext36(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4182,6 +4184,7 @@ def build_oracles() -> dict:
     from .queries_ext33 import build_oracles_ext33
     from .queries_ext34 import build_oracles_ext34
     from .queries_ext35 import build_oracles_ext35
+    from .queries_ext36 import build_oracles_ext36
 
     return {
         **build_oracles_ext(),
@@ -4219,6 +4222,7 @@ def build_oracles() -> dict:
         **build_oracles_ext33(),
         **build_oracles_ext34(),
         **build_oracles_ext35(),
+        **build_oracles_ext36(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -1,0 +1,289 @@
+"""Round-3 extension operators, batch 36: exact set-similarity join (PPJoin).
+
+``jaccard_join_exact`` — the DETERMINISTIC-complete exact similarity
+self-join: every document pair with word-trigram Jaccard >= 0.5, found
+by prefix filtering (Chaudhuri/Xiao PPJoin family) instead of LSH.  The
+prefix-filter theorem: with shingles ordered by a fixed global total
+order (here rarest-first: document frequency ASC, shingle ASC), two
+sets with J >= tau MUST share at least one shingle among each set's
+first ``|S| - ceil(tau*|S|) + 1`` shingles — so joining prefixes only
+is complete BY CONSTRUCTION, where the banded-LSH path
+(``minhash_near_dup``) is complete only probabilistically.  Both
+pipelines share one DuckDB oracle (the exhaustive inverted-index join),
+so the two independent algorithms are proven to agree value-exactly.
+
+Distributed shape (tau never changes the exchange structure):
+
+  shingle rows (doc_id, g)              stateless explode, per-batch dedup
+  -> df count                           exchange 1: hash(g), map-side combine
+  -> df attach                          exchange 2: hash(g) co-partition union
+  -> per-doc prefix select              exchange 3: hash(doc_id); lexsort +
+                                        run-rank keeps rank < prefix_len
+  -> candidate pairs                    exchange 4: hash(g); per-bucket
+                                        triu expansion + size filter
+                                        (min >= tau*max prunes free)
+  -> pair dedup + exact verify          tiny pair groupby; corpus broadcast
+                                        (the minhash verify convention —
+                                        the >5M-doc deployment swaps in the
+                                        co-partitioned two-pass text join)
+
+Candidate volume is bounded by prefix-shingle bucket sizes; rarest-first
+ordering makes those buckets the rarest shingles in each document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TAU = 0.5
+
+
+def _ray():
+    import ray
+
+    return ray
+
+
+def _prefix_len(sizes: np.ndarray, tau: float) -> np.ndarray:
+    return sizes - np.ceil(tau * sizes).astype(np.int64) + 1
+
+
+def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = None):
+    from ..functions.dedup import jaccard_pct_exact, shingle_strs
+    from ..stages.agg import _key_hash, grouped_aggregate
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+
+    from .queries import (
+        DUP_EVERY,
+        DUP_OFFSET,
+        _corpus_with_planted_dups,
+        _hash_part,
+        mutate_text,
+    )
+
+    ray = _ray()
+    P = int(n_parts or min(32, shuffle_blocks()))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_doc, out_g = [], []
+        for i, t in zip(ids, texts):
+            gs = shingle_strs(t or "")
+            out_doc.extend([int(i)] * len(gs))
+            out_g.extend(gs)
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "g": pa.array(out_g, type=pa.string()),
+        })
+
+    shingles = _corpus_with_planted_dups(sf_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # exchange 1: global shingle document frequency
+    dfs = grouped_aggregate(
+        shingles, ["g"], [("count", None, "df")], high_cardinality=True
+    )
+
+    # exchange 2: co-partition shingle rows with their df by hash(g)
+    def key_g(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            part = (_key_hash(batch, ["g"]) % np.uint64(P)).astype(np.int64)
+            n = batch.num_rows
+            return pa.table({
+                "part": pa.array(part, type=pa.int64()),
+                "g": batch.column("g"),
+                "doc_id": (batch.column("doc_id") if side == 0
+                           else pa.array(np.full(n, -1, np.int64))),
+                "df": (pa.array(np.zeros(n, np.int64)) if side == 0
+                       else pa.array(
+                           batch.column("df").to_numpy().astype(np.int64))),
+                "side": pa.array(np.full(n, side, np.int64)),
+            })
+
+        return f
+
+    unioned = shingles.map_batches(
+        key_g(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(dfs.map_batches(key_g(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy().astype(np.int64)
+        g = np.array(group.column("g").to_pylist(), dtype=object)
+        lookup_g = g[side == 1]
+        lookup_df = group.column("df").to_numpy().astype(np.int64)[side == 1]
+        order = np.argsort(lookup_g)
+        lookup_g, lookup_df = lookup_g[order], lookup_df[order]
+        rows = side == 0
+        idx = np.searchsorted(lookup_g, g[rows])
+        return pa.table({
+            "doc_id": pa.array(
+                group.column("doc_id").to_numpy().astype(np.int64)[rows],
+                type=pa.int64()),
+            "g": pa.array(g[rows], type=pa.string()),
+            "df": pa.array(lookup_df[idx], type=pa.int64()),
+        })
+
+    with_df = (
+        coalesce_for_shuffle(unioned)
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pyarrow")
+    )
+
+    # exchange 3: per-doc prefix selection (rarest-first order)
+    def key_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "part", pa.array(_hash_part(ids, P), type=pa.int64())
+        )
+
+    def prefix_rows(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy().astype(np.int64)
+        g = np.array(group.column("g").to_pylist(), dtype=object)
+        df = group.column("df").to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({
+                "g": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+            })
+        order = np.lexsort((g, df, ids))
+        ids, g = ids[order], g[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(ids) != 0)[0] + 1])
+        sizes = np.diff(np.concatenate([starts, [len(ids)]]))
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        rank = np.arange(len(ids)) - starts[run_id]
+        s = sizes[run_id]
+        keep = rank < _prefix_len(s, tau)
+        return pa.table({
+            "g": pa.array(g[keep], type=pa.string()),
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "s": pa.array(s[keep], type=pa.int64()),
+        })
+
+    prefixes = (
+        coalesce_for_shuffle(
+            with_df.map_batches(key_doc, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        )
+        .groupby("part")
+        .map_groups(lambda gr: prefix_rows(gr.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    )
+
+    # exchange 4: candidate pairs from shared prefix shingles
+    def key_g2(batch: pa.Table) -> pa.Table:
+        part = (_key_hash(batch, ["g"]) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, type=pa.int64()))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+        })
+        n = group.num_rows
+        if n < 2:
+            return empty
+        g = np.array(group.column("g").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy().astype(np.int64)
+        s = group.column("s").to_numpy().astype(np.int64)
+        order = np.lexsort((ids, g))
+        g, ids, s = g[order], ids[order], s[order]
+        starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        pa_list, pb_list, sa_list, sb_list = [], [], [], []
+        # per-bucket all-pairs: bounded by prefix-shingle bucket sizes (the
+        # rarest shingles of each doc); runs with L >= 2 are the candidate-
+        # generating buckets — few, each expanded vectorized via triu
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, k=1)
+            pa_list.append(ids[st + ii])
+            pb_list.append(ids[st + jj])
+            sa_list.append(s[st + ii])
+            sb_list.append(s[st + jj])
+        if not pa_list:
+            return empty
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+        sa = np.concatenate(sa_list)
+        sb = np.concatenate(sb_list)
+        # docs ascend within a bucket, so a < b already; size filter:
+        # J >= tau requires min(sa,sb) >= tau * max(sa,sb)
+        keep = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
+        return pa.table({
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(b[keep], type=pa.int64()),
+        })
+
+    cands = (
+        coalesce_for_shuffle(
+            prefixes.map_batches(key_g2, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        )
+        .groupby("part")
+        .map_groups(lambda gr: bucket_pairs(gr.drop_columns(["part"])),
+                    batch_format="pyarrow")
+    )
+
+    # global pair dedup, then exact verify against the broadcast corpus
+    # (same small-corpus convention as minhash_near_dup's broadcast mode;
+    # the >5M-doc deployment swaps in the co-partitioned two-pass join)
+    cands = grouped_aggregate(
+        cands, ["doc_a", "doc_b"], [("count", None, "_n")]
+    ).select_columns(["doc_a", "doc_b"])
+
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus: dict[int, str] = {}
+    for i, t in zip(base.column("doc_id").to_pylist(),
+                    base.column("text").to_pylist()):
+        corpus[int(i)] = t
+        if int(i) % DUP_EVERY == 0:
+            corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
+    corpus_ref = ray.put(corpus)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(corpus_ref)
+        cache: dict[int, set] = {}
+
+        def sh(i: int) -> set:
+            v = cache.get(i)
+            if v is None:
+                v = shingle_strs(texts.get(i, ""))
+                cache[i] = v
+            return v
+
+        da, db, jj = [], [], []
+        for a_id, b_id in zip(batch.column("doc_a").to_numpy(),
+                              batch.column("doc_b").to_numpy()):
+            i, u = jaccard_pct_exact(sh(int(a_id)), sh(int(b_id)))
+            if i >= tau * u:
+                da.append(int(a_id))
+                db.append(int(b_id))
+                jj.append((200 * i + u) // (2 * u))
+        return pa.table({
+            "doc_a": pa.array(da, type=pa.int64()),
+            "doc_b": pa.array(db, type=pa.int64()),
+            "jaccard_pct": pa.array(jj, type=pa.int64()),
+        })
+
+    return cands.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+    )
+
+
+def build_queries_ext36() -> dict:
+    return {"jaccard_join_exact": q_jaccard_join_exact}
+
+
+def build_oracles_ext36() -> dict:
+    # the exhaustive inverted-index ground truth is shared with the LSH
+    # pipeline: two independent algorithms, one oracle
+    from .queries import _sql_minhash_near_dup
+
+    return {"jaccard_join_exact": _sql_minhash_near_dup()}

@@ -4045,6 +4045,7 @@ def build_queries() -> dict:
     from .queries_ext34 import build_queries_ext34
     from .queries_ext35 import build_queries_ext35
     from .queries_ext36 import build_queries_ext36
+    from .queries_ext37 import build_queries_ext37
 
     return {
         **build_queries_ext(),
@@ -4083,6 +4084,7 @@ def build_queries() -> dict:
         **build_queries_ext34(),
         **build_queries_ext35(),
         **build_queries_ext36(),
+        **build_queries_ext37(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4185,6 +4187,7 @@ def build_oracles() -> dict:
     from .queries_ext34 import build_oracles_ext34
     from .queries_ext35 import build_oracles_ext35
     from .queries_ext36 import build_oracles_ext36
+    from .queries_ext37 import build_oracles_ext37
 
     return {
         **build_oracles_ext(),
@@ -4223,6 +4226,7 @@ def build_oracles() -> dict:
         **build_oracles_ext34(),
         **build_oracles_ext35(),
         **build_oracles_ext36(),
+        **build_oracles_ext37(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

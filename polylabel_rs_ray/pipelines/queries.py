@@ -4046,6 +4046,7 @@ def build_queries() -> dict:
     from .queries_ext35 import build_queries_ext35
     from .queries_ext36 import build_queries_ext36
     from .queries_ext37 import build_queries_ext37
+    from .queries_ext38 import build_queries_ext38
 
     return {
         **build_queries_ext(),
@@ -4085,6 +4086,7 @@ def build_queries() -> dict:
         **build_queries_ext35(),
         **build_queries_ext36(),
         **build_queries_ext37(),
+        **build_queries_ext38(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4188,6 +4190,7 @@ def build_oracles() -> dict:
     from .queries_ext35 import build_oracles_ext35
     from .queries_ext36 import build_oracles_ext36
     from .queries_ext37 import build_oracles_ext37
+    from .queries_ext38 import build_oracles_ext38
 
     return {
         **build_oracles_ext(),
@@ -4227,6 +4230,7 @@ def build_oracles() -> dict:
         **build_oracles_ext35(),
         **build_oracles_ext36(),
         **build_oracles_ext37(),
+        **build_oracles_ext38(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -66,6 +66,14 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
     P = int(n_parts or min(32, shuffle_blocks()))
 
     def explode(batch: pa.Table) -> pa.Table:
+        # candidate generation runs on 64-bit hashed shingle keys (polars'
+        # fixed-seed hash, the repo-wide string-key convention) — integer
+        # sorts/searches throughout instead of object-string compares.
+        # Verification recomputes EXACT string sets, so a 2^-64 collision
+        # can only perturb candidate generation; the brute-force
+        # completeness pytest and the exhaustive oracle guard that margin.
+        import polars as pl
+
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
         texts = batch.column("text").to_pylist()
         out_doc, out_g = [], []
@@ -73,9 +81,17 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
             gs = shingle_strs(t or "")
             out_doc.extend([int(i)] * len(gs))
             out_g.extend(gs)
+        g64 = (
+            pl.from_arrow(pa.array(out_g, type=pa.string()))
+            .hash(seed=0)
+            .to_numpy()
+            .astype(np.uint64)
+            .view(np.int64)
+            if out_g else np.empty(0, np.int64)
+        )
         return pa.table({
             "doc_id": pa.array(out_doc, type=pa.int64()),
-            "g": pa.array(out_g, type=pa.string()),
+            "g": pa.array(g64, type=pa.int64()),
         })
 
     shingles = _corpus_with_planted_dups(sf_dir).map_batches(
@@ -111,7 +127,7 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
 
     def attach_df(group: pa.Table) -> pa.Table:
         side = group.column("side").to_numpy().astype(np.int64)
-        g = np.array(group.column("g").to_pylist(), dtype=object)
+        g = group.column("g").to_numpy().astype(np.int64)
         lookup_g = g[side == 1]
         lookup_df = group.column("df").to_numpy().astype(np.int64)[side == 1]
         order = np.argsort(lookup_g)
@@ -122,7 +138,7 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
             "doc_id": pa.array(
                 group.column("doc_id").to_numpy().astype(np.int64)[rows],
                 type=pa.int64()),
-            "g": pa.array(g[rows], type=pa.string()),
+            "g": pa.array(g[rows], type=pa.int64()),
             "df": pa.array(lookup_df[idx], type=pa.int64()),
         })
 
@@ -141,11 +157,11 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
 
     def prefix_rows(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy().astype(np.int64)
-        g = np.array(group.column("g").to_pylist(), dtype=object)
+        g = group.column("g").to_numpy().astype(np.int64)
         df = group.column("df").to_numpy().astype(np.int64)
         if len(ids) == 0:
             return pa.table({
-                "g": pa.array([], type=pa.string()),
+                "g": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
                 "s": pa.array([], type=pa.int64()),
             })
@@ -158,7 +174,7 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
         s = sizes[run_id]
         keep = rank < _prefix_len(s, tau)
         return pa.table({
-            "g": pa.array(g[keep], type=pa.string()),
+            "g": pa.array(g[keep], type=pa.int64()),
             "doc_id": pa.array(ids[keep], type=pa.int64()),
             "s": pa.array(s[keep], type=pa.int64()),
         })
@@ -186,7 +202,7 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
         n = group.num_rows
         if n < 2:
             return empty
-        g = np.array(group.column("g").to_pylist(), dtype=object)
+        g = group.column("g").to_numpy().astype(np.int64)
         ids = group.column("doc_id").to_numpy().astype(np.int64)
         s = group.column("s").to_numpy().astype(np.int64)
         order = np.lexsort((ids, g))
@@ -232,9 +248,14 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
     # global pair dedup, then exact verify against the broadcast corpus
     # (same small-corpus convention as minhash_near_dup's broadcast mode;
     # the >5M-doc deployment swaps in the co-partitioned two-pass join)
+    # pair keys are ~unique -> the high-cardinality hash exchange (the
+    # native sort-aggregate measured 71 s of remote time here); then merge
+    # the tiny pair table into a few blocks so the verify stage pays the
+    # broadcast-corpus deserialize once per task, not once per micro-block
     cands = grouped_aggregate(
-        cands, ["doc_a", "doc_b"], [("count", None, "_n")]
-    ).select_columns(["doc_a", "doc_b"])
+        cands, ["doc_a", "doc_b"], [("count", None, "_n")],
+        high_cardinality=True,
+    ).select_columns(["doc_a", "doc_b"]).repartition(4)
 
     import pyarrow.parquet as pq
 

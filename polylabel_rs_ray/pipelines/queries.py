@@ -4047,6 +4047,7 @@ def build_queries() -> dict:
     from .queries_ext36 import build_queries_ext36
     from .queries_ext37 import build_queries_ext37
     from .queries_ext38 import build_queries_ext38
+    from .queries_ext39 import build_queries_ext39
 
     return {
         **build_queries_ext(),
@@ -4087,6 +4088,7 @@ def build_queries() -> dict:
         **build_queries_ext36(),
         **build_queries_ext37(),
         **build_queries_ext38(),
+        **build_queries_ext39(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4191,6 +4193,7 @@ def build_oracles() -> dict:
     from .queries_ext36 import build_oracles_ext36
     from .queries_ext37 import build_oracles_ext37
     from .queries_ext38 import build_oracles_ext38
+    from .queries_ext39 import build_oracles_ext39
 
     return {
         **build_oracles_ext(),
@@ -4231,6 +4234,7 @@ def build_oracles() -> dict:
         **build_oracles_ext36(),
         **build_oracles_ext37(),
         **build_oracles_ext38(),
+        **build_oracles_ext39(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4048,6 +4048,7 @@ def build_queries() -> dict:
     from .queries_ext37 import build_queries_ext37
     from .queries_ext38 import build_queries_ext38
     from .queries_ext39 import build_queries_ext39
+    from .queries_ext40 import build_queries_ext40
 
     return {
         **build_queries_ext(),
@@ -4089,6 +4090,7 @@ def build_queries() -> dict:
         **build_queries_ext37(),
         **build_queries_ext38(),
         **build_queries_ext39(),
+        **build_queries_ext40(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4194,6 +4196,7 @@ def build_oracles() -> dict:
     from .queries_ext37 import build_oracles_ext37
     from .queries_ext38 import build_oracles_ext38
     from .queries_ext39 import build_oracles_ext39
+    from .queries_ext40 import build_oracles_ext40
 
     return {
         **build_oracles_ext(),
@@ -4235,6 +4238,7 @@ def build_oracles() -> dict:
         **build_oracles_ext37(),
         **build_oracles_ext38(),
         **build_oracles_ext39(),
+        **build_oracles_ext40(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

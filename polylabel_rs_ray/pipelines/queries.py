@@ -4049,6 +4049,7 @@ def build_queries() -> dict:
     from .queries_ext38 import build_queries_ext38
     from .queries_ext39 import build_queries_ext39
     from .queries_ext40 import build_queries_ext40
+    from .queries_ext41 import build_queries_ext41
 
     return {
         **build_queries_ext(),
@@ -4091,6 +4092,7 @@ def build_queries() -> dict:
         **build_queries_ext38(),
         **build_queries_ext39(),
         **build_queries_ext40(),
+        **build_queries_ext41(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4197,6 +4199,7 @@ def build_oracles() -> dict:
     from .queries_ext38 import build_oracles_ext38
     from .queries_ext39 import build_oracles_ext39
     from .queries_ext40 import build_oracles_ext40
+    from .queries_ext41 import build_oracles_ext41
 
     return {
         **build_oracles_ext(),
@@ -4239,6 +4242,7 @@ def build_oracles() -> dict:
         **build_oracles_ext38(),
         **build_oracles_ext39(),
         **build_oracles_ext40(),
+        **build_oracles_ext41(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4050,6 +4050,7 @@ def build_queries() -> dict:
     from .queries_ext39 import build_queries_ext39
     from .queries_ext40 import build_queries_ext40
     from .queries_ext41 import build_queries_ext41
+    from .queries_ext42 import build_queries_ext42
 
     return {
         **build_queries_ext(),
@@ -4093,6 +4094,7 @@ def build_queries() -> dict:
         **build_queries_ext39(),
         **build_queries_ext40(),
         **build_queries_ext41(),
+        **build_queries_ext42(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4200,6 +4202,7 @@ def build_oracles() -> dict:
     from .queries_ext39 import build_oracles_ext39
     from .queries_ext40 import build_oracles_ext40
     from .queries_ext41 import build_oracles_ext41
+    from .queries_ext42 import build_oracles_ext42
 
     return {
         **build_oracles_ext(),
@@ -4243,6 +4246,7 @@ def build_oracles() -> dict:
         **build_oracles_ext39(),
         **build_oracles_ext40(),
         **build_oracles_ext41(),
+        **build_oracles_ext42(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4051,6 +4051,7 @@ def build_queries() -> dict:
     from .queries_ext40 import build_queries_ext40
     from .queries_ext41 import build_queries_ext41
     from .queries_ext42 import build_queries_ext42
+    from .queries_ext43 import build_queries_ext43
 
     return {
         **build_queries_ext(),
@@ -4095,6 +4096,7 @@ def build_queries() -> dict:
         **build_queries_ext40(),
         **build_queries_ext41(),
         **build_queries_ext42(),
+        **build_queries_ext43(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4203,6 +4205,7 @@ def build_oracles() -> dict:
     from .queries_ext40 import build_oracles_ext40
     from .queries_ext41 import build_oracles_ext41
     from .queries_ext42 import build_oracles_ext42
+    from .queries_ext43 import build_oracles_ext43
 
     return {
         **build_oracles_ext(),
@@ -4247,6 +4250,7 @@ def build_oracles() -> dict:
         **build_oracles_ext40(),
         **build_oracles_ext41(),
         **build_oracles_ext42(),
+        **build_oracles_ext43(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

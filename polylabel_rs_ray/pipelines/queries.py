@@ -4052,6 +4052,7 @@ def build_queries() -> dict:
     from .queries_ext41 import build_queries_ext41
     from .queries_ext42 import build_queries_ext42
     from .queries_ext43 import build_queries_ext43
+    from .queries_ext44 import build_queries_ext44
 
     return {
         **build_queries_ext(),
@@ -4097,6 +4098,7 @@ def build_queries() -> dict:
         **build_queries_ext41(),
         **build_queries_ext42(),
         **build_queries_ext43(),
+        **build_queries_ext44(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4206,6 +4208,7 @@ def build_oracles() -> dict:
     from .queries_ext41 import build_oracles_ext41
     from .queries_ext42 import build_oracles_ext42
     from .queries_ext43 import build_oracles_ext43
+    from .queries_ext44 import build_oracles_ext44
 
     return {
         **build_oracles_ext(),
@@ -4251,6 +4254,7 @@ def build_oracles() -> dict:
         **build_oracles_ext41(),
         **build_oracles_ext42(),
         **build_oracles_ext43(),
+        **build_oracles_ext44(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

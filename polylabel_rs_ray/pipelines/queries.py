@@ -4053,6 +4053,7 @@ def build_queries() -> dict:
     from .queries_ext42 import build_queries_ext42
     from .queries_ext43 import build_queries_ext43
     from .queries_ext44 import build_queries_ext44
+    from .queries_ext45 import build_queries_ext45
 
     return {
         **build_queries_ext(),
@@ -4099,6 +4100,7 @@ def build_queries() -> dict:
         **build_queries_ext42(),
         **build_queries_ext43(),
         **build_queries_ext44(),
+        **build_queries_ext45(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4209,6 +4211,7 @@ def build_oracles() -> dict:
     from .queries_ext42 import build_oracles_ext42
     from .queries_ext43 import build_oracles_ext43
     from .queries_ext44 import build_oracles_ext44
+    from .queries_ext45 import build_oracles_ext45
 
     return {
         **build_oracles_ext(),
@@ -4255,6 +4258,7 @@ def build_oracles() -> dict:
         **build_oracles_ext42(),
         **build_oracles_ext43(),
         **build_oracles_ext44(),
+        **build_oracles_ext45(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

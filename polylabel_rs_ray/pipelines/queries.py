@@ -4054,6 +4054,7 @@ def build_queries() -> dict:
     from .queries_ext43 import build_queries_ext43
     from .queries_ext44 import build_queries_ext44
     from .queries_ext45 import build_queries_ext45
+    from .queries_ext46 import build_queries_ext46
 
     return {
         **build_queries_ext(),
@@ -4101,6 +4102,7 @@ def build_queries() -> dict:
         **build_queries_ext43(),
         **build_queries_ext44(),
         **build_queries_ext45(),
+        **build_queries_ext46(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4212,6 +4214,7 @@ def build_oracles() -> dict:
     from .queries_ext43 import build_oracles_ext43
     from .queries_ext44 import build_oracles_ext44
     from .queries_ext45 import build_oracles_ext45
+    from .queries_ext46 import build_oracles_ext46
 
     return {
         **build_oracles_ext(),
@@ -4259,6 +4262,7 @@ def build_oracles() -> dict:
         **build_oracles_ext43(),
         **build_oracles_ext44(),
         **build_oracles_ext45(),
+        **build_oracles_ext46(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -14,15 +14,18 @@ so the two independent algorithms are proven to agree value-exactly.
 
 Distributed shape (tau never changes the exchange structure):
 
-  shingle rows (doc_id, g)              stateless explode, per-batch dedup
-  -> df count                           exchange 1: hash(g), map-side combine
-  -> df attach                          exchange 2: hash(g) co-partition union
-  -> per-doc prefix select              exchange 3: hash(doc_id); lexsort +
+  shingle rows (doc_id, g)              stateless explode, per-doc dedup
+  -> df count + attach                  exchange 1: hash(g) co-partition —
+                                        a shingle's rows all land together,
+                                        so its GLOBAL df is computed and
+                                        attached in the same pass
+  -> per-doc prefix select              exchange 2: hash(doc_id); lexsort +
                                         run-rank keeps rank < prefix_len
-  -> candidate pairs                    exchange 4: hash(g); per-bucket
+  -> candidate pairs                    exchange 3: hash(g); per-bucket
                                         triu expansion + size filter
                                         (min >= tau*max prunes free)
-  -> pair dedup + exact verify          tiny pair groupby; corpus broadcast
+  -> pair dedup + exact verify          exchange 4: high-cardinality pair
+                                        hash; then corpus-broadcast verify
                                         (the minhash verify convention —
                                         the >5M-doc deployment swaps in the
                                         co-partitioned two-pass text join)
@@ -98,54 +101,43 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # exchange 1: global shingle document frequency
-    dfs = grouped_aggregate(
-        shingles, ["g"], [("count", None, "df")], high_cardinality=True
-    )
-
-    # exchange 2: co-partition shingle rows with their df by hash(g)
-    def key_g(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            part = (_key_hash(batch, ["g"]) % np.uint64(P)).astype(np.int64)
-            n = batch.num_rows
-            return pa.table({
-                "part": pa.array(part, type=pa.int64()),
-                "g": batch.column("g"),
-                "doc_id": (batch.column("doc_id") if side == 0
-                           else pa.array(np.full(n, -1, np.int64))),
-                "df": (pa.array(np.zeros(n, np.int64)) if side == 0
-                       else pa.array(
-                           batch.column("df").to_numpy().astype(np.int64))),
-                "side": pa.array(np.full(n, side, np.int64)),
-            })
-
-        return f
-
-    unioned = shingles.map_batches(
-        key_g(0), batch_format="pyarrow", zero_copy_batch=True
-    ).union(dfs.map_batches(key_g(1), batch_format="pyarrow", zero_copy_batch=True))
+    # exchange 1: hash(g) co-partition — every row of a shingle lands in one
+    # partition, so its GLOBAL document frequency is computable locally and
+    # attaches in the same pass (no separate df aggregate + re-join barrier)
+    def key_g(batch: pa.Table) -> pa.Table:
+        part = (_key_hash(batch, ["g"]) % np.uint64(P)).astype(np.int64)
+        return batch.append_column("part", pa.array(part, type=pa.int64()))
 
     def attach_df(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy().astype(np.int64)
         g = group.column("g").to_numpy().astype(np.int64)
-        lookup_g = g[side == 1]
-        lookup_df = group.column("df").to_numpy().astype(np.int64)[side == 1]
-        order = np.argsort(lookup_g)
-        lookup_g, lookup_df = lookup_g[order], lookup_df[order]
-        rows = side == 0
-        idx = np.searchsorted(lookup_g, g[rows])
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        if len(g) == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "g": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            })
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(gs) != 0)[0] + 1])
+        runs = np.diff(np.concatenate([starts, [len(gs)]]))
+        df_sorted = np.repeat(runs, runs)
+        df = np.empty(len(g), np.int64)
+        df[order] = df_sorted
         return pa.table({
-            "doc_id": pa.array(
-                group.column("doc_id").to_numpy().astype(np.int64)[rows],
-                type=pa.int64()),
-            "g": pa.array(g[rows], type=pa.int64()),
-            "df": pa.array(lookup_df[idx], type=pa.int64()),
+            "doc_id": pa.array(doc, type=pa.int64()),
+            "g": pa.array(g, type=pa.int64()),
+            "df": pa.array(df, type=pa.int64()),
         })
 
     with_df = (
-        coalesce_for_shuffle(unioned)
+        coalesce_for_shuffle(
+            shingles.map_batches(key_g, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        )
         .groupby("part")
-        .map_groups(attach_df, batch_format="pyarrow")
+        .map_groups(lambda gr: attach_df(gr.drop_columns(["part"])),
+                    batch_format="pyarrow")
     )
 
     # exchange 3: per-doc prefix selection (rarest-first order)

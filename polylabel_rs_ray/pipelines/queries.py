@@ -4055,6 +4055,8 @@ def build_queries() -> dict:
     from .queries_ext44 import build_queries_ext44
     from .queries_ext45 import build_queries_ext45
     from .queries_ext46 import build_queries_ext46
+    from .queries_ext47 import build_queries_ext47
+    from .queries_ext48 import build_queries_ext48
 
     return {
         **build_queries_ext(),
@@ -4103,6 +4105,8 @@ def build_queries() -> dict:
         **build_queries_ext44(),
         **build_queries_ext45(),
         **build_queries_ext46(),
+        **build_queries_ext47(),
+        **build_queries_ext48(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4215,6 +4219,8 @@ def build_oracles() -> dict:
     from .queries_ext44 import build_oracles_ext44
     from .queries_ext45 import build_oracles_ext45
     from .queries_ext46 import build_oracles_ext46
+    from .queries_ext47 import build_oracles_ext47
+    from .queries_ext48 import build_oracles_ext48
 
     return {
         **build_oracles_ext(),
@@ -4263,6 +4269,8 @@ def build_oracles() -> dict:
         **build_oracles_ext44(),
         **build_oracles_ext45(),
         **build_oracles_ext46(),
+        **build_oracles_ext47(),
+        **build_oracles_ext48(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

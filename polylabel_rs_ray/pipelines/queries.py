@@ -4057,6 +4057,7 @@ def build_queries() -> dict:
     from .queries_ext46 import build_queries_ext46
     from .queries_ext47 import build_queries_ext47
     from .queries_ext48 import build_queries_ext48
+    from .queries_ext49 import build_queries_ext49
 
     return {
         **build_queries_ext(),
@@ -4107,6 +4108,7 @@ def build_queries() -> dict:
         **build_queries_ext46(),
         **build_queries_ext47(),
         **build_queries_ext48(),
+        **build_queries_ext49(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4221,6 +4223,7 @@ def build_oracles() -> dict:
     from .queries_ext46 import build_oracles_ext46
     from .queries_ext47 import build_oracles_ext47
     from .queries_ext48 import build_oracles_ext48
+    from .queries_ext49 import build_oracles_ext49
 
     return {
         **build_oracles_ext(),
@@ -4271,6 +4274,7 @@ def build_oracles() -> dict:
         **build_oracles_ext46(),
         **build_oracles_ext47(),
         **build_oracles_ext48(),
+        **build_oracles_ext49(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4058,6 +4058,7 @@ def build_queries() -> dict:
     from .queries_ext47 import build_queries_ext47
     from .queries_ext48 import build_queries_ext48
     from .queries_ext49 import build_queries_ext49
+    from .queries_ext50 import build_queries_ext50
 
     return {
         **build_queries_ext(),
@@ -4109,6 +4110,7 @@ def build_queries() -> dict:
         **build_queries_ext47(),
         **build_queries_ext48(),
         **build_queries_ext49(),
+        **build_queries_ext50(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4224,6 +4226,7 @@ def build_oracles() -> dict:
     from .queries_ext47 import build_oracles_ext47
     from .queries_ext48 import build_oracles_ext48
     from .queries_ext49 import build_oracles_ext49
+    from .queries_ext50 import build_oracles_ext50
 
     return {
         **build_oracles_ext(),
@@ -4275,6 +4278,7 @@ def build_oracles() -> dict:
         **build_oracles_ext47(),
         **build_oracles_ext48(),
         **build_oracles_ext49(),
+        **build_oracles_ext50(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4059,6 +4059,8 @@ def build_queries() -> dict:
     from .queries_ext48 import build_queries_ext48
     from .queries_ext49 import build_queries_ext49
     from .queries_ext50 import build_queries_ext50
+    from .queries_ext51 import build_queries_ext51
+    from .queries_ext52 import build_queries_ext52
 
     return {
         **build_queries_ext(),
@@ -4111,6 +4113,8 @@ def build_queries() -> dict:
         **build_queries_ext48(),
         **build_queries_ext49(),
         **build_queries_ext50(),
+        **build_queries_ext51(),
+        **build_queries_ext52(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4227,6 +4231,8 @@ def build_oracles() -> dict:
     from .queries_ext48 import build_oracles_ext48
     from .queries_ext49 import build_oracles_ext49
     from .queries_ext50 import build_oracles_ext50
+    from .queries_ext51 import build_oracles_ext51
+    from .queries_ext52 import build_oracles_ext52
 
     return {
         **build_oracles_ext(),
@@ -4279,6 +4285,8 @@ def build_oracles() -> dict:
         **build_oracles_ext48(),
         **build_oracles_ext49(),
         **build_oracles_ext50(),
+        **build_oracles_ext51(),
+        **build_oracles_ext52(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

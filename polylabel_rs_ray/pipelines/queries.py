@@ -4061,6 +4061,8 @@ def build_queries() -> dict:
     from .queries_ext50 import build_queries_ext50
     from .queries_ext51 import build_queries_ext51
     from .queries_ext52 import build_queries_ext52
+    from .queries_ext53 import build_queries_ext53
+    from .queries_ext54 import build_queries_ext54
 
     return {
         **build_queries_ext(),
@@ -4115,6 +4117,8 @@ def build_queries() -> dict:
         **build_queries_ext50(),
         **build_queries_ext51(),
         **build_queries_ext52(),
+        **build_queries_ext53(),
+        **build_queries_ext54(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4233,6 +4237,8 @@ def build_oracles() -> dict:
     from .queries_ext50 import build_oracles_ext50
     from .queries_ext51 import build_oracles_ext51
     from .queries_ext52 import build_oracles_ext52
+    from .queries_ext53 import build_oracles_ext53
+    from .queries_ext54 import build_oracles_ext54
 
     return {
         **build_oracles_ext(),
@@ -4287,6 +4293,8 @@ def build_oracles() -> dict:
         **build_oracles_ext50(),
         **build_oracles_ext51(),
         **build_oracles_ext52(),
+        **build_oracles_ext53(),
+        **build_oracles_ext54(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4063,6 +4063,7 @@ def build_queries() -> dict:
     from .queries_ext52 import build_queries_ext52
     from .queries_ext53 import build_queries_ext53
     from .queries_ext54 import build_queries_ext54
+    from .queries_ext55 import build_queries_ext55
 
     return {
         **build_queries_ext(),
@@ -4119,6 +4120,7 @@ def build_queries() -> dict:
         **build_queries_ext52(),
         **build_queries_ext53(),
         **build_queries_ext54(),
+        **build_queries_ext55(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4239,6 +4241,7 @@ def build_oracles() -> dict:
     from .queries_ext52 import build_oracles_ext52
     from .queries_ext53 import build_oracles_ext53
     from .queries_ext54 import build_oracles_ext54
+    from .queries_ext55 import build_oracles_ext55
 
     return {
         **build_oracles_ext(),
@@ -4295,6 +4298,7 @@ def build_oracles() -> dict:
         **build_oracles_ext52(),
         **build_oracles_ext53(),
         **build_oracles_ext54(),
+        **build_oracles_ext55(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4064,6 +4064,7 @@ def build_queries() -> dict:
     from .queries_ext53 import build_queries_ext53
     from .queries_ext54 import build_queries_ext54
     from .queries_ext55 import build_queries_ext55
+    from .queries_ext56 import build_queries_ext56
 
     return {
         **build_queries_ext(),
@@ -4121,6 +4122,7 @@ def build_queries() -> dict:
         **build_queries_ext53(),
         **build_queries_ext54(),
         **build_queries_ext55(),
+        **build_queries_ext56(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4242,6 +4244,7 @@ def build_oracles() -> dict:
     from .queries_ext53 import build_oracles_ext53
     from .queries_ext54 import build_oracles_ext54
     from .queries_ext55 import build_oracles_ext55
+    from .queries_ext56 import build_oracles_ext56
 
     return {
         **build_oracles_ext(),
@@ -4299,6 +4302,7 @@ def build_oracles() -> dict:
         **build_oracles_ext53(),
         **build_oracles_ext54(),
         **build_oracles_ext55(),
+        **build_oracles_ext56(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4065,6 +4065,7 @@ def build_queries() -> dict:
     from .queries_ext54 import build_queries_ext54
     from .queries_ext55 import build_queries_ext55
     from .queries_ext56 import build_queries_ext56
+    from .queries_ext57 import build_queries_ext57
 
     return {
         **build_queries_ext(),
@@ -4123,6 +4124,7 @@ def build_queries() -> dict:
         **build_queries_ext54(),
         **build_queries_ext55(),
         **build_queries_ext56(),
+        **build_queries_ext57(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4245,6 +4247,7 @@ def build_oracles() -> dict:
     from .queries_ext54 import build_oracles_ext54
     from .queries_ext55 import build_oracles_ext55
     from .queries_ext56 import build_oracles_ext56
+    from .queries_ext57 import build_oracles_ext57
 
     return {
         **build_oracles_ext(),
@@ -4303,6 +4306,7 @@ def build_oracles() -> dict:
         **build_oracles_ext54(),
         **build_oracles_ext55(),
         **build_oracles_ext56(),
+        **build_oracles_ext57(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4066,6 +4066,7 @@ def build_queries() -> dict:
     from .queries_ext55 import build_queries_ext55
     from .queries_ext56 import build_queries_ext56
     from .queries_ext57 import build_queries_ext57
+    from .queries_ext58 import build_queries_ext58
 
     return {
         **build_queries_ext(),
@@ -4125,6 +4126,7 @@ def build_queries() -> dict:
         **build_queries_ext55(),
         **build_queries_ext56(),
         **build_queries_ext57(),
+        **build_queries_ext58(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4248,6 +4250,7 @@ def build_oracles() -> dict:
     from .queries_ext55 import build_oracles_ext55
     from .queries_ext56 import build_oracles_ext56
     from .queries_ext57 import build_oracles_ext57
+    from .queries_ext58 import build_oracles_ext58
 
     return {
         **build_oracles_ext(),
@@ -4307,6 +4310,7 @@ def build_oracles() -> dict:
         **build_oracles_ext55(),
         **build_oracles_ext56(),
         **build_oracles_ext57(),
+        **build_oracles_ext58(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

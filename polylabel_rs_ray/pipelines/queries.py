@@ -4067,6 +4067,7 @@ def build_queries() -> dict:
     from .queries_ext56 import build_queries_ext56
     from .queries_ext57 import build_queries_ext57
     from .queries_ext58 import build_queries_ext58
+    from .queries_ext59 import build_queries_ext59
 
     return {
         **build_queries_ext(),
@@ -4127,6 +4128,7 @@ def build_queries() -> dict:
         **build_queries_ext56(),
         **build_queries_ext57(),
         **build_queries_ext58(),
+        **build_queries_ext59(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4251,6 +4253,7 @@ def build_oracles() -> dict:
     from .queries_ext56 import build_oracles_ext56
     from .queries_ext57 import build_oracles_ext57
     from .queries_ext58 import build_oracles_ext58
+    from .queries_ext59 import build_oracles_ext59
 
     return {
         **build_oracles_ext(),
@@ -4311,6 +4314,7 @@ def build_oracles() -> dict:
         **build_oracles_ext56(),
         **build_oracles_ext57(),
         **build_oracles_ext58(),
+        **build_oracles_ext59(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

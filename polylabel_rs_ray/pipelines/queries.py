@@ -4068,6 +4068,7 @@ def build_queries() -> dict:
     from .queries_ext57 import build_queries_ext57
     from .queries_ext58 import build_queries_ext58
     from .queries_ext59 import build_queries_ext59
+    from .queries_ext60 import build_queries_ext60
 
     return {
         **build_queries_ext(),
@@ -4129,6 +4130,7 @@ def build_queries() -> dict:
         **build_queries_ext57(),
         **build_queries_ext58(),
         **build_queries_ext59(),
+        **build_queries_ext60(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4254,6 +4256,7 @@ def build_oracles() -> dict:
     from .queries_ext57 import build_oracles_ext57
     from .queries_ext58 import build_oracles_ext58
     from .queries_ext59 import build_oracles_ext59
+    from .queries_ext60 import build_oracles_ext60
 
     return {
         **build_oracles_ext(),
@@ -4315,6 +4318,7 @@ def build_oracles() -> dict:
         **build_oracles_ext57(),
         **build_oracles_ext58(),
         **build_oracles_ext59(),
+        **build_oracles_ext60(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

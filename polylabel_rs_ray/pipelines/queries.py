@@ -4069,6 +4069,7 @@ def build_queries() -> dict:
     from .queries_ext58 import build_queries_ext58
     from .queries_ext59 import build_queries_ext59
     from .queries_ext60 import build_queries_ext60
+    from .queries_ext61 import build_queries_ext61
 
     return {
         **build_queries_ext(),
@@ -4131,6 +4132,7 @@ def build_queries() -> dict:
         **build_queries_ext58(),
         **build_queries_ext59(),
         **build_queries_ext60(),
+        **build_queries_ext61(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4257,6 +4259,7 @@ def build_oracles() -> dict:
     from .queries_ext58 import build_oracles_ext58
     from .queries_ext59 import build_oracles_ext59
     from .queries_ext60 import build_oracles_ext60
+    from .queries_ext61 import build_oracles_ext61
 
     return {
         **build_oracles_ext(),
@@ -4319,6 +4322,7 @@ def build_oracles() -> dict:
         **build_oracles_ext58(),
         **build_oracles_ext59(),
         **build_oracles_ext60(),
+        **build_oracles_ext61(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4070,6 +4070,7 @@ def build_queries() -> dict:
     from .queries_ext59 import build_queries_ext59
     from .queries_ext60 import build_queries_ext60
     from .queries_ext61 import build_queries_ext61
+    from .queries_ext62 import build_queries_ext62
 
     return {
         **build_queries_ext(),
@@ -4133,6 +4134,7 @@ def build_queries() -> dict:
         **build_queries_ext59(),
         **build_queries_ext60(),
         **build_queries_ext61(),
+        **build_queries_ext62(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4260,6 +4262,7 @@ def build_oracles() -> dict:
     from .queries_ext59 import build_oracles_ext59
     from .queries_ext60 import build_oracles_ext60
     from .queries_ext61 import build_oracles_ext61
+    from .queries_ext62 import build_oracles_ext62
 
     return {
         **build_oracles_ext(),
@@ -4323,6 +4326,7 @@ def build_oracles() -> dict:
         **build_oracles_ext59(),
         **build_oracles_ext60(),
         **build_oracles_ext61(),
+        **build_oracles_ext62(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4071,6 +4071,7 @@ def build_queries() -> dict:
     from .queries_ext60 import build_queries_ext60
     from .queries_ext61 import build_queries_ext61
     from .queries_ext62 import build_queries_ext62
+    from .queries_ext63 import build_queries_ext63
 
     return {
         **build_queries_ext(),
@@ -4135,6 +4136,7 @@ def build_queries() -> dict:
         **build_queries_ext60(),
         **build_queries_ext61(),
         **build_queries_ext62(),
+        **build_queries_ext63(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4263,6 +4265,7 @@ def build_oracles() -> dict:
     from .queries_ext60 import build_oracles_ext60
     from .queries_ext61 import build_oracles_ext61
     from .queries_ext62 import build_oracles_ext62
+    from .queries_ext63 import build_oracles_ext63
 
     return {
         **build_oracles_ext(),
@@ -4327,6 +4330,7 @@ def build_oracles() -> dict:
         **build_oracles_ext60(),
         **build_oracles_ext61(),
         **build_oracles_ext62(),
+        **build_oracles_ext63(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

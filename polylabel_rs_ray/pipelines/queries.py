@@ -4072,6 +4072,7 @@ def build_queries() -> dict:
     from .queries_ext61 import build_queries_ext61
     from .queries_ext62 import build_queries_ext62
     from .queries_ext63 import build_queries_ext63
+    from .queries_ext64 import build_queries_ext64
 
     return {
         **build_queries_ext(),
@@ -4137,6 +4138,7 @@ def build_queries() -> dict:
         **build_queries_ext61(),
         **build_queries_ext62(),
         **build_queries_ext63(),
+        **build_queries_ext64(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4266,6 +4268,7 @@ def build_oracles() -> dict:
     from .queries_ext61 import build_oracles_ext61
     from .queries_ext62 import build_oracles_ext62
     from .queries_ext63 import build_oracles_ext63
+    from .queries_ext64 import build_oracles_ext64
 
     return {
         **build_oracles_ext(),
@@ -4331,6 +4334,7 @@ def build_oracles() -> dict:
         **build_oracles_ext61(),
         **build_oracles_ext62(),
         **build_oracles_ext63(),
+        **build_oracles_ext64(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4073,6 +4073,7 @@ def build_queries() -> dict:
     from .queries_ext62 import build_queries_ext62
     from .queries_ext63 import build_queries_ext63
     from .queries_ext64 import build_queries_ext64
+    from .queries_ext65 import build_queries_ext65
 
     return {
         **build_queries_ext(),
@@ -4139,6 +4140,7 @@ def build_queries() -> dict:
         **build_queries_ext62(),
         **build_queries_ext63(),
         **build_queries_ext64(),
+        **build_queries_ext65(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4269,6 +4271,7 @@ def build_oracles() -> dict:
     from .queries_ext62 import build_oracles_ext62
     from .queries_ext63 import build_oracles_ext63
     from .queries_ext64 import build_oracles_ext64
+    from .queries_ext65 import build_oracles_ext65
 
     return {
         **build_oracles_ext(),
@@ -4335,6 +4338,7 @@ def build_oracles() -> dict:
         **build_oracles_ext62(),
         **build_oracles_ext63(),
         **build_oracles_ext64(),
+        **build_oracles_ext65(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

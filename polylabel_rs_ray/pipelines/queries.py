@@ -4074,6 +4074,7 @@ def build_queries() -> dict:
     from .queries_ext63 import build_queries_ext63
     from .queries_ext64 import build_queries_ext64
     from .queries_ext65 import build_queries_ext65
+    from .queries_ext66 import build_queries_ext66
 
     return {
         **build_queries_ext(),
@@ -4141,6 +4142,7 @@ def build_queries() -> dict:
         **build_queries_ext63(),
         **build_queries_ext64(),
         **build_queries_ext65(),
+        **build_queries_ext66(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4272,6 +4274,7 @@ def build_oracles() -> dict:
     from .queries_ext63 import build_oracles_ext63
     from .queries_ext64 import build_oracles_ext64
     from .queries_ext65 import build_oracles_ext65
+    from .queries_ext66 import build_oracles_ext66
 
     return {
         **build_oracles_ext(),
@@ -4339,6 +4342,7 @@ def build_oracles() -> dict:
         **build_oracles_ext63(),
         **build_oracles_ext64(),
         **build_oracles_ext65(),
+        **build_oracles_ext66(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

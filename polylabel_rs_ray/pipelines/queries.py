@@ -4075,6 +4075,7 @@ def build_queries() -> dict:
     from .queries_ext64 import build_queries_ext64
     from .queries_ext65 import build_queries_ext65
     from .queries_ext66 import build_queries_ext66
+    from .queries_ext67 import build_queries_ext67
 
     return {
         **build_queries_ext(),
@@ -4143,6 +4144,7 @@ def build_queries() -> dict:
         **build_queries_ext64(),
         **build_queries_ext65(),
         **build_queries_ext66(),
+        **build_queries_ext67(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4275,6 +4277,7 @@ def build_oracles() -> dict:
     from .queries_ext64 import build_oracles_ext64
     from .queries_ext65 import build_oracles_ext65
     from .queries_ext66 import build_oracles_ext66
+    from .queries_ext67 import build_oracles_ext67
 
     return {
         **build_oracles_ext(),
@@ -4343,6 +4346,7 @@ def build_oracles() -> dict:
         **build_oracles_ext64(),
         **build_oracles_ext65(),
         **build_oracles_ext66(),
+        **build_oracles_ext67(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

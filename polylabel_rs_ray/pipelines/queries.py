@@ -4076,6 +4076,7 @@ def build_queries() -> dict:
     from .queries_ext65 import build_queries_ext65
     from .queries_ext66 import build_queries_ext66
     from .queries_ext67 import build_queries_ext67
+    from .queries_ext68 import build_queries_ext68
 
     return {
         **build_queries_ext(),
@@ -4145,6 +4146,7 @@ def build_queries() -> dict:
         **build_queries_ext65(),
         **build_queries_ext66(),
         **build_queries_ext67(),
+        **build_queries_ext68(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4278,6 +4280,7 @@ def build_oracles() -> dict:
     from .queries_ext65 import build_oracles_ext65
     from .queries_ext66 import build_oracles_ext66
     from .queries_ext67 import build_oracles_ext67
+    from .queries_ext68 import build_oracles_ext68
 
     return {
         **build_oracles_ext(),
@@ -4347,6 +4350,7 @@ def build_oracles() -> dict:
         **build_oracles_ext65(),
         **build_oracles_ext66(),
         **build_oracles_ext67(),
+        **build_oracles_ext68(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

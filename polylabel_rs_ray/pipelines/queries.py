@@ -4077,6 +4077,7 @@ def build_queries() -> dict:
     from .queries_ext66 import build_queries_ext66
     from .queries_ext67 import build_queries_ext67
     from .queries_ext68 import build_queries_ext68
+    from .queries_ext69 import build_queries_ext69
 
     return {
         **build_queries_ext(),
@@ -4147,6 +4148,7 @@ def build_queries() -> dict:
         **build_queries_ext66(),
         **build_queries_ext67(),
         **build_queries_ext68(),
+        **build_queries_ext69(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4281,6 +4283,7 @@ def build_oracles() -> dict:
     from .queries_ext66 import build_oracles_ext66
     from .queries_ext67 import build_oracles_ext67
     from .queries_ext68 import build_oracles_ext68
+    from .queries_ext69 import build_oracles_ext69
 
     return {
         **build_oracles_ext(),
@@ -4351,6 +4354,7 @@ def build_oracles() -> dict:
         **build_oracles_ext66(),
         **build_oracles_ext67(),
         **build_oracles_ext68(),
+        **build_oracles_ext69(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4078,6 +4078,7 @@ def build_queries() -> dict:
     from .queries_ext67 import build_queries_ext67
     from .queries_ext68 import build_queries_ext68
     from .queries_ext69 import build_queries_ext69
+    from .queries_ext70 import build_queries_ext70
 
     return {
         **build_queries_ext(),
@@ -4149,6 +4150,7 @@ def build_queries() -> dict:
         **build_queries_ext67(),
         **build_queries_ext68(),
         **build_queries_ext69(),
+        **build_queries_ext70(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4284,6 +4286,7 @@ def build_oracles() -> dict:
     from .queries_ext67 import build_oracles_ext67
     from .queries_ext68 import build_oracles_ext68
     from .queries_ext69 import build_oracles_ext69
+    from .queries_ext70 import build_oracles_ext70
 
     return {
         **build_oracles_ext(),
@@ -4355,6 +4358,7 @@ def build_oracles() -> dict:
         **build_oracles_ext67(),
         **build_oracles_ext68(),
         **build_oracles_ext69(),
+        **build_oracles_ext70(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

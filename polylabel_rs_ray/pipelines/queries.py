@@ -4079,6 +4079,7 @@ def build_queries() -> dict:
     from .queries_ext68 import build_queries_ext68
     from .queries_ext69 import build_queries_ext69
     from .queries_ext70 import build_queries_ext70
+    from .queries_ext71 import build_queries_ext71
 
     return {
         **build_queries_ext(),
@@ -4151,6 +4152,7 @@ def build_queries() -> dict:
         **build_queries_ext68(),
         **build_queries_ext69(),
         **build_queries_ext70(),
+        **build_queries_ext71(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4287,6 +4289,7 @@ def build_oracles() -> dict:
     from .queries_ext68 import build_oracles_ext68
     from .queries_ext69 import build_oracles_ext69
     from .queries_ext70 import build_oracles_ext70
+    from .queries_ext71 import build_oracles_ext71
 
     return {
         **build_oracles_ext(),
@@ -4359,6 +4362,7 @@ def build_oracles() -> dict:
         **build_oracles_ext68(),
         **build_oracles_ext69(),
         **build_oracles_ext70(),
+        **build_oracles_ext71(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4080,6 +4080,7 @@ def build_queries() -> dict:
     from .queries_ext69 import build_queries_ext69
     from .queries_ext70 import build_queries_ext70
     from .queries_ext71 import build_queries_ext71
+    from .queries_ext72 import build_queries_ext72
 
     return {
         **build_queries_ext(),
@@ -4153,6 +4154,7 @@ def build_queries() -> dict:
         **build_queries_ext69(),
         **build_queries_ext70(),
         **build_queries_ext71(),
+        **build_queries_ext72(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4290,6 +4292,7 @@ def build_oracles() -> dict:
     from .queries_ext69 import build_oracles_ext69
     from .queries_ext70 import build_oracles_ext70
     from .queries_ext71 import build_oracles_ext71
+    from .queries_ext72 import build_oracles_ext72
 
     return {
         **build_oracles_ext(),
@@ -4363,6 +4366,7 @@ def build_oracles() -> dict:
         **build_oracles_ext69(),
         **build_oracles_ext70(),
         **build_oracles_ext71(),
+        **build_oracles_ext72(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4081,6 +4081,7 @@ def build_queries() -> dict:
     from .queries_ext70 import build_queries_ext70
     from .queries_ext71 import build_queries_ext71
     from .queries_ext72 import build_queries_ext72
+    from .queries_ext73 import build_queries_ext73
 
     return {
         **build_queries_ext(),
@@ -4155,6 +4156,7 @@ def build_queries() -> dict:
         **build_queries_ext70(),
         **build_queries_ext71(),
         **build_queries_ext72(),
+        **build_queries_ext73(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4293,6 +4295,7 @@ def build_oracles() -> dict:
     from .queries_ext70 import build_oracles_ext70
     from .queries_ext71 import build_oracles_ext71
     from .queries_ext72 import build_oracles_ext72
+    from .queries_ext73 import build_oracles_ext73
 
     return {
         **build_oracles_ext(),
@@ -4367,6 +4370,7 @@ def build_oracles() -> dict:
         **build_oracles_ext70(),
         **build_oracles_ext71(),
         **build_oracles_ext72(),
+        **build_oracles_ext73(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

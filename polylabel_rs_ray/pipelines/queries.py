@@ -4082,6 +4082,7 @@ def build_queries() -> dict:
     from .queries_ext71 import build_queries_ext71
     from .queries_ext72 import build_queries_ext72
     from .queries_ext73 import build_queries_ext73
+    from .queries_ext74 import build_queries_ext74
 
     return {
         **build_queries_ext(),
@@ -4157,6 +4158,7 @@ def build_queries() -> dict:
         **build_queries_ext71(),
         **build_queries_ext72(),
         **build_queries_ext73(),
+        **build_queries_ext74(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4296,6 +4298,7 @@ def build_oracles() -> dict:
     from .queries_ext71 import build_oracles_ext71
     from .queries_ext72 import build_oracles_ext72
     from .queries_ext73 import build_oracles_ext73
+    from .queries_ext74 import build_oracles_ext74
 
     return {
         **build_oracles_ext(),
@@ -4371,6 +4374,7 @@ def build_oracles() -> dict:
         **build_oracles_ext71(),
         **build_oracles_ext72(),
         **build_oracles_ext73(),
+        **build_oracles_ext74(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4083,6 +4083,8 @@ def build_queries() -> dict:
     from .queries_ext72 import build_queries_ext72
     from .queries_ext73 import build_queries_ext73
     from .queries_ext74 import build_queries_ext74
+    from .queries_ext75 import build_queries_ext75
+    from .queries_ext76 import build_queries_ext76
 
     return {
         **build_queries_ext(),
@@ -4159,6 +4161,8 @@ def build_queries() -> dict:
         **build_queries_ext72(),
         **build_queries_ext73(),
         **build_queries_ext74(),
+        **build_queries_ext75(),
+        **build_queries_ext76(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4299,6 +4303,8 @@ def build_oracles() -> dict:
     from .queries_ext72 import build_oracles_ext72
     from .queries_ext73 import build_oracles_ext73
     from .queries_ext74 import build_oracles_ext74
+    from .queries_ext75 import build_oracles_ext75
+    from .queries_ext76 import build_oracles_ext76
 
     return {
         **build_oracles_ext(),
@@ -4375,6 +4381,8 @@ def build_oracles() -> dict:
         **build_oracles_ext72(),
         **build_oracles_ext73(),
         **build_oracles_ext74(),
+        **build_oracles_ext75(),
+        **build_oracles_ext76(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

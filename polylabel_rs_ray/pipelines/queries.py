@@ -4085,6 +4085,7 @@ def build_queries() -> dict:
     from .queries_ext74 import build_queries_ext74
     from .queries_ext75 import build_queries_ext75
     from .queries_ext76 import build_queries_ext76
+    from .queries_ext77 import build_queries_ext77
 
     return {
         **build_queries_ext(),
@@ -4163,6 +4164,7 @@ def build_queries() -> dict:
         **build_queries_ext74(),
         **build_queries_ext75(),
         **build_queries_ext76(),
+        **build_queries_ext77(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4305,6 +4307,7 @@ def build_oracles() -> dict:
     from .queries_ext74 import build_oracles_ext74
     from .queries_ext75 import build_oracles_ext75
     from .queries_ext76 import build_oracles_ext76
+    from .queries_ext77 import build_oracles_ext77
 
     return {
         **build_oracles_ext(),
@@ -4383,6 +4386,7 @@ def build_oracles() -> dict:
         **build_oracles_ext74(),
         **build_oracles_ext75(),
         **build_oracles_ext76(),
+        **build_oracles_ext77(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4086,6 +4086,7 @@ def build_queries() -> dict:
     from .queries_ext75 import build_queries_ext75
     from .queries_ext76 import build_queries_ext76
     from .queries_ext77 import build_queries_ext77
+    from .queries_ext78 import build_queries_ext78
 
     return {
         **build_queries_ext(),
@@ -4165,6 +4166,7 @@ def build_queries() -> dict:
         **build_queries_ext75(),
         **build_queries_ext76(),
         **build_queries_ext77(),
+        **build_queries_ext78(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4308,6 +4310,7 @@ def build_oracles() -> dict:
     from .queries_ext75 import build_oracles_ext75
     from .queries_ext76 import build_oracles_ext76
     from .queries_ext77 import build_oracles_ext77
+    from .queries_ext78 import build_oracles_ext78
 
     return {
         **build_oracles_ext(),
@@ -4387,6 +4390,7 @@ def build_oracles() -> dict:
         **build_oracles_ext75(),
         **build_oracles_ext76(),
         **build_oracles_ext77(),
+        **build_oracles_ext78(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4087,6 +4087,7 @@ def build_queries() -> dict:
     from .queries_ext76 import build_queries_ext76
     from .queries_ext77 import build_queries_ext77
     from .queries_ext78 import build_queries_ext78
+    from .queries_ext79 import build_queries_ext79
 
     return {
         **build_queries_ext(),
@@ -4167,6 +4168,7 @@ def build_queries() -> dict:
         **build_queries_ext76(),
         **build_queries_ext77(),
         **build_queries_ext78(),
+        **build_queries_ext79(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4311,6 +4313,7 @@ def build_oracles() -> dict:
     from .queries_ext76 import build_oracles_ext76
     from .queries_ext77 import build_oracles_ext77
     from .queries_ext78 import build_oracles_ext78
+    from .queries_ext79 import build_oracles_ext79
 
     return {
         **build_oracles_ext(),
@@ -4391,6 +4394,7 @@ def build_oracles() -> dict:
         **build_oracles_ext76(),
         **build_oracles_ext77(),
         **build_oracles_ext78(),
+        **build_oracles_ext79(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4088,6 +4088,7 @@ def build_queries() -> dict:
     from .queries_ext77 import build_queries_ext77
     from .queries_ext78 import build_queries_ext78
     from .queries_ext79 import build_queries_ext79
+    from .queries_ext80 import build_queries_ext80
 
     return {
         **build_queries_ext(),
@@ -4169,6 +4170,7 @@ def build_queries() -> dict:
         **build_queries_ext77(),
         **build_queries_ext78(),
         **build_queries_ext79(),
+        **build_queries_ext80(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4314,6 +4316,7 @@ def build_oracles() -> dict:
     from .queries_ext77 import build_oracles_ext77
     from .queries_ext78 import build_oracles_ext78
     from .queries_ext79 import build_oracles_ext79
+    from .queries_ext80 import build_oracles_ext80
 
     return {
         **build_oracles_ext(),
@@ -4395,6 +4398,7 @@ def build_oracles() -> dict:
         **build_oracles_ext77(),
         **build_oracles_ext78(),
         **build_oracles_ext79(),
+        **build_oracles_ext80(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4089,6 +4089,7 @@ def build_queries() -> dict:
     from .queries_ext78 import build_queries_ext78
     from .queries_ext79 import build_queries_ext79
     from .queries_ext80 import build_queries_ext80
+    from .queries_ext81 import build_queries_ext81
 
     return {
         **build_queries_ext(),
@@ -4171,6 +4172,7 @@ def build_queries() -> dict:
         **build_queries_ext78(),
         **build_queries_ext79(),
         **build_queries_ext80(),
+        **build_queries_ext81(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4317,6 +4319,7 @@ def build_oracles() -> dict:
     from .queries_ext78 import build_oracles_ext78
     from .queries_ext79 import build_oracles_ext79
     from .queries_ext80 import build_oracles_ext80
+    from .queries_ext81 import build_oracles_ext81
 
     return {
         **build_oracles_ext(),
@@ -4399,6 +4402,7 @@ def build_oracles() -> dict:
         **build_oracles_ext78(),
         **build_oracles_ext79(),
         **build_oracles_ext80(),
+        **build_oracles_ext81(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4090,6 +4090,7 @@ def build_queries() -> dict:
     from .queries_ext79 import build_queries_ext79
     from .queries_ext80 import build_queries_ext80
     from .queries_ext81 import build_queries_ext81
+    from .queries_ext82 import build_queries_ext82
 
     return {
         **build_queries_ext(),
@@ -4173,6 +4174,7 @@ def build_queries() -> dict:
         **build_queries_ext79(),
         **build_queries_ext80(),
         **build_queries_ext81(),
+        **build_queries_ext82(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4320,6 +4322,7 @@ def build_oracles() -> dict:
     from .queries_ext79 import build_oracles_ext79
     from .queries_ext80 import build_oracles_ext80
     from .queries_ext81 import build_oracles_ext81
+    from .queries_ext82 import build_oracles_ext82
 
     return {
         **build_oracles_ext(),
@@ -4403,6 +4406,7 @@ def build_oracles() -> dict:
         **build_oracles_ext79(),
         **build_oracles_ext80(),
         **build_oracles_ext81(),
+        **build_oracles_ext82(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

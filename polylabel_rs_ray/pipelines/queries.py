@@ -4091,6 +4091,7 @@ def build_queries() -> dict:
     from .queries_ext80 import build_queries_ext80
     from .queries_ext81 import build_queries_ext81
     from .queries_ext82 import build_queries_ext82
+    from .queries_ext83 import build_queries_ext83
 
     return {
         **build_queries_ext(),
@@ -4175,6 +4176,7 @@ def build_queries() -> dict:
         **build_queries_ext80(),
         **build_queries_ext81(),
         **build_queries_ext82(),
+        **build_queries_ext83(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4323,6 +4325,7 @@ def build_oracles() -> dict:
     from .queries_ext80 import build_oracles_ext80
     from .queries_ext81 import build_oracles_ext81
     from .queries_ext82 import build_oracles_ext82
+    from .queries_ext83 import build_oracles_ext83
 
     return {
         **build_oracles_ext(),
@@ -4407,6 +4410,7 @@ def build_oracles() -> dict:
         **build_oracles_ext80(),
         **build_oracles_ext81(),
         **build_oracles_ext82(),
+        **build_oracles_ext83(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

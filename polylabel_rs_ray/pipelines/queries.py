@@ -4092,6 +4092,7 @@ def build_queries() -> dict:
     from .queries_ext81 import build_queries_ext81
     from .queries_ext82 import build_queries_ext82
     from .queries_ext83 import build_queries_ext83
+    from .queries_ext84 import build_queries_ext84
 
     return {
         **build_queries_ext(),
@@ -4177,6 +4178,7 @@ def build_queries() -> dict:
         **build_queries_ext81(),
         **build_queries_ext82(),
         **build_queries_ext83(),
+        **build_queries_ext84(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4326,6 +4328,7 @@ def build_oracles() -> dict:
     from .queries_ext81 import build_oracles_ext81
     from .queries_ext82 import build_oracles_ext82
     from .queries_ext83 import build_oracles_ext83
+    from .queries_ext84 import build_oracles_ext84
 
     return {
         **build_oracles_ext(),
@@ -4411,6 +4414,7 @@ def build_oracles() -> dict:
         **build_oracles_ext81(),
         **build_oracles_ext82(),
         **build_oracles_ext83(),
+        **build_oracles_ext84(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4093,6 +4093,7 @@ def build_queries() -> dict:
     from .queries_ext82 import build_queries_ext82
     from .queries_ext83 import build_queries_ext83
     from .queries_ext84 import build_queries_ext84
+    from .queries_ext85 import build_queries_ext85
 
     return {
         **build_queries_ext(),
@@ -4179,6 +4180,7 @@ def build_queries() -> dict:
         **build_queries_ext82(),
         **build_queries_ext83(),
         **build_queries_ext84(),
+        **build_queries_ext85(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4329,6 +4331,7 @@ def build_oracles() -> dict:
     from .queries_ext82 import build_oracles_ext82
     from .queries_ext83 import build_oracles_ext83
     from .queries_ext84 import build_oracles_ext84
+    from .queries_ext85 import build_oracles_ext85
 
     return {
         **build_oracles_ext(),
@@ -4415,6 +4418,7 @@ def build_oracles() -> dict:
         **build_oracles_ext82(),
         **build_oracles_ext83(),
         **build_oracles_ext84(),
+        **build_oracles_ext85(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

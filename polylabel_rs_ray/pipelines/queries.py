@@ -4094,6 +4094,7 @@ def build_queries() -> dict:
     from .queries_ext83 import build_queries_ext83
     from .queries_ext84 import build_queries_ext84
     from .queries_ext85 import build_queries_ext85
+    from .queries_ext86 import build_queries_ext86
 
     return {
         **build_queries_ext(),
@@ -4181,6 +4182,7 @@ def build_queries() -> dict:
         **build_queries_ext83(),
         **build_queries_ext84(),
         **build_queries_ext85(),
+        **build_queries_ext86(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4332,6 +4334,7 @@ def build_oracles() -> dict:
     from .queries_ext83 import build_oracles_ext83
     from .queries_ext84 import build_oracles_ext84
     from .queries_ext85 import build_oracles_ext85
+    from .queries_ext86 import build_oracles_ext86
 
     return {
         **build_oracles_ext(),
@@ -4419,6 +4422,7 @@ def build_oracles() -> dict:
         **build_oracles_ext83(),
         **build_oracles_ext84(),
         **build_oracles_ext85(),
+        **build_oracles_ext86(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4095,6 +4095,7 @@ def build_queries() -> dict:
     from .queries_ext84 import build_queries_ext84
     from .queries_ext85 import build_queries_ext85
     from .queries_ext86 import build_queries_ext86
+    from .queries_ext87 import build_queries_ext87
 
     return {
         **build_queries_ext(),
@@ -4183,6 +4184,7 @@ def build_queries() -> dict:
         **build_queries_ext84(),
         **build_queries_ext85(),
         **build_queries_ext86(),
+        **build_queries_ext87(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4335,6 +4337,7 @@ def build_oracles() -> dict:
     from .queries_ext84 import build_oracles_ext84
     from .queries_ext85 import build_oracles_ext85
     from .queries_ext86 import build_oracles_ext86
+    from .queries_ext87 import build_oracles_ext87
 
     return {
         **build_oracles_ext(),
@@ -4423,6 +4426,7 @@ def build_oracles() -> dict:
         **build_oracles_ext84(),
         **build_oracles_ext85(),
         **build_oracles_ext86(),
+        **build_oracles_ext87(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4096,6 +4096,7 @@ def build_queries() -> dict:
     from .queries_ext85 import build_queries_ext85
     from .queries_ext86 import build_queries_ext86
     from .queries_ext87 import build_queries_ext87
+    from .queries_ext88 import build_queries_ext88
 
     return {
         **build_queries_ext(),
@@ -4185,6 +4186,7 @@ def build_queries() -> dict:
         **build_queries_ext85(),
         **build_queries_ext86(),
         **build_queries_ext87(),
+        **build_queries_ext88(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4338,6 +4340,7 @@ def build_oracles() -> dict:
     from .queries_ext85 import build_oracles_ext85
     from .queries_ext86 import build_oracles_ext86
     from .queries_ext87 import build_oracles_ext87
+    from .queries_ext88 import build_oracles_ext88
 
     return {
         **build_oracles_ext(),
@@ -4427,6 +4430,7 @@ def build_oracles() -> dict:
         **build_oracles_ext85(),
         **build_oracles_ext86(),
         **build_oracles_ext87(),
+        **build_oracles_ext88(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4097,6 +4097,7 @@ def build_queries() -> dict:
     from .queries_ext86 import build_queries_ext86
     from .queries_ext87 import build_queries_ext87
     from .queries_ext88 import build_queries_ext88
+    from .queries_ext89 import build_queries_ext89
 
     return {
         **build_queries_ext(),
@@ -4187,6 +4188,7 @@ def build_queries() -> dict:
         **build_queries_ext86(),
         **build_queries_ext87(),
         **build_queries_ext88(),
+        **build_queries_ext89(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4341,6 +4343,7 @@ def build_oracles() -> dict:
     from .queries_ext86 import build_oracles_ext86
     from .queries_ext87 import build_oracles_ext87
     from .queries_ext88 import build_oracles_ext88
+    from .queries_ext89 import build_oracles_ext89
 
     return {
         **build_oracles_ext(),
@@ -4431,6 +4434,7 @@ def build_oracles() -> dict:
         **build_oracles_ext86(),
         **build_oracles_ext87(),
         **build_oracles_ext88(),
+        **build_oracles_ext89(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

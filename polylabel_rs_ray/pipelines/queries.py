@@ -4098,6 +4098,7 @@ def build_queries() -> dict:
     from .queries_ext87 import build_queries_ext87
     from .queries_ext88 import build_queries_ext88
     from .queries_ext89 import build_queries_ext89
+    from .queries_ext90 import build_queries_ext90
 
     return {
         **build_queries_ext(),
@@ -4189,6 +4190,7 @@ def build_queries() -> dict:
         **build_queries_ext87(),
         **build_queries_ext88(),
         **build_queries_ext89(),
+        **build_queries_ext90(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4344,6 +4346,7 @@ def build_oracles() -> dict:
     from .queries_ext87 import build_oracles_ext87
     from .queries_ext88 import build_oracles_ext88
     from .queries_ext89 import build_oracles_ext89
+    from .queries_ext90 import build_oracles_ext90
 
     return {
         **build_oracles_ext(),
@@ -4435,6 +4438,7 @@ def build_oracles() -> dict:
         **build_oracles_ext87(),
         **build_oracles_ext88(),
         **build_oracles_ext89(),
+        **build_oracles_ext90(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

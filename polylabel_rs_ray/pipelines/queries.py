@@ -4099,6 +4099,7 @@ def build_queries() -> dict:
     from .queries_ext88 import build_queries_ext88
     from .queries_ext89 import build_queries_ext89
     from .queries_ext90 import build_queries_ext90
+    from .queries_ext91 import build_queries_ext91
 
     return {
         **build_queries_ext(),
@@ -4191,6 +4192,7 @@ def build_queries() -> dict:
         **build_queries_ext88(),
         **build_queries_ext89(),
         **build_queries_ext90(),
+        **build_queries_ext91(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4347,6 +4349,7 @@ def build_oracles() -> dict:
     from .queries_ext88 import build_oracles_ext88
     from .queries_ext89 import build_oracles_ext89
     from .queries_ext90 import build_oracles_ext90
+    from .queries_ext91 import build_oracles_ext91
 
     return {
         **build_oracles_ext(),
@@ -4439,6 +4442,7 @@ def build_oracles() -> dict:
         **build_oracles_ext88(),
         **build_oracles_ext89(),
         **build_oracles_ext90(),
+        **build_oracles_ext91(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

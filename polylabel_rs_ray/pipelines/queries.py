@@ -4100,6 +4100,7 @@ def build_queries() -> dict:
     from .queries_ext89 import build_queries_ext89
     from .queries_ext90 import build_queries_ext90
     from .queries_ext91 import build_queries_ext91
+    from .queries_ext92 import build_queries_ext92
 
     return {
         **build_queries_ext(),
@@ -4193,6 +4194,7 @@ def build_queries() -> dict:
         **build_queries_ext89(),
         **build_queries_ext90(),
         **build_queries_ext91(),
+        **build_queries_ext92(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4350,6 +4352,7 @@ def build_oracles() -> dict:
     from .queries_ext89 import build_oracles_ext89
     from .queries_ext90 import build_oracles_ext90
     from .queries_ext91 import build_oracles_ext91
+    from .queries_ext92 import build_oracles_ext92
 
     return {
         **build_oracles_ext(),
@@ -4443,6 +4446,7 @@ def build_oracles() -> dict:
         **build_oracles_ext89(),
         **build_oracles_ext90(),
         **build_oracles_ext91(),
+        **build_oracles_ext92(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

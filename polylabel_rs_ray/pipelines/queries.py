@@ -4101,6 +4101,7 @@ def build_queries() -> dict:
     from .queries_ext90 import build_queries_ext90
     from .queries_ext91 import build_queries_ext91
     from .queries_ext92 import build_queries_ext92
+    from .queries_ext93 import build_queries_ext93
 
     return {
         **build_queries_ext(),
@@ -4195,6 +4196,7 @@ def build_queries() -> dict:
         **build_queries_ext90(),
         **build_queries_ext91(),
         **build_queries_ext92(),
+        **build_queries_ext93(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4353,6 +4355,7 @@ def build_oracles() -> dict:
     from .queries_ext90 import build_oracles_ext90
     from .queries_ext91 import build_oracles_ext91
     from .queries_ext92 import build_oracles_ext92
+    from .queries_ext93 import build_oracles_ext93
 
     return {
         **build_oracles_ext(),
@@ -4447,6 +4450,7 @@ def build_oracles() -> dict:
         **build_oracles_ext90(),
         **build_oracles_ext91(),
         **build_oracles_ext92(),
+        **build_oracles_ext93(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4102,6 +4102,7 @@ def build_queries() -> dict:
     from .queries_ext91 import build_queries_ext91
     from .queries_ext92 import build_queries_ext92
     from .queries_ext93 import build_queries_ext93
+    from .queries_ext94 import build_queries_ext94
 
     return {
         **build_queries_ext(),
@@ -4197,6 +4198,7 @@ def build_queries() -> dict:
         **build_queries_ext91(),
         **build_queries_ext92(),
         **build_queries_ext93(),
+        **build_queries_ext94(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4356,6 +4358,7 @@ def build_oracles() -> dict:
     from .queries_ext91 import build_oracles_ext91
     from .queries_ext92 import build_oracles_ext92
     from .queries_ext93 import build_oracles_ext93
+    from .queries_ext94 import build_oracles_ext94
 
     return {
         **build_oracles_ext(),
@@ -4451,6 +4454,7 @@ def build_oracles() -> dict:
         **build_oracles_ext91(),
         **build_oracles_ext92(),
         **build_oracles_ext93(),
+        **build_oracles_ext94(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4103,6 +4103,7 @@ def build_queries() -> dict:
     from .queries_ext92 import build_queries_ext92
     from .queries_ext93 import build_queries_ext93
     from .queries_ext94 import build_queries_ext94
+    from .queries_ext95 import build_queries_ext95
 
     return {
         **build_queries_ext(),
@@ -4199,6 +4200,7 @@ def build_queries() -> dict:
         **build_queries_ext92(),
         **build_queries_ext93(),
         **build_queries_ext94(),
+        **build_queries_ext95(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4359,6 +4361,7 @@ def build_oracles() -> dict:
     from .queries_ext92 import build_oracles_ext92
     from .queries_ext93 import build_oracles_ext93
     from .queries_ext94 import build_oracles_ext94
+    from .queries_ext95 import build_oracles_ext95
 
     return {
         **build_oracles_ext(),
@@ -4455,6 +4458,7 @@ def build_oracles() -> dict:
         **build_oracles_ext92(),
         **build_oracles_ext93(),
         **build_oracles_ext94(),
+        **build_oracles_ext95(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4104,6 +4104,7 @@ def build_queries() -> dict:
     from .queries_ext93 import build_queries_ext93
     from .queries_ext94 import build_queries_ext94
     from .queries_ext95 import build_queries_ext95
+    from .queries_ext96 import build_queries_ext96
 
     return {
         **build_queries_ext(),
@@ -4201,6 +4202,7 @@ def build_queries() -> dict:
         **build_queries_ext93(),
         **build_queries_ext94(),
         **build_queries_ext95(),
+        **build_queries_ext96(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4362,6 +4364,7 @@ def build_oracles() -> dict:
     from .queries_ext93 import build_oracles_ext93
     from .queries_ext94 import build_oracles_ext94
     from .queries_ext95 import build_oracles_ext95
+    from .queries_ext96 import build_oracles_ext96
 
     return {
         **build_oracles_ext(),
@@ -4459,6 +4462,7 @@ def build_oracles() -> dict:
         **build_oracles_ext93(),
         **build_oracles_ext94(),
         **build_oracles_ext95(),
+        **build_oracles_ext96(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

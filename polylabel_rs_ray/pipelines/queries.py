@@ -4105,6 +4105,7 @@ def build_queries() -> dict:
     from .queries_ext94 import build_queries_ext94
     from .queries_ext95 import build_queries_ext95
     from .queries_ext96 import build_queries_ext96
+    from .queries_ext97 import build_queries_ext97
 
     return {
         **build_queries_ext(),
@@ -4203,6 +4204,7 @@ def build_queries() -> dict:
         **build_queries_ext94(),
         **build_queries_ext95(),
         **build_queries_ext96(),
+        **build_queries_ext97(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4365,6 +4367,7 @@ def build_oracles() -> dict:
     from .queries_ext94 import build_oracles_ext94
     from .queries_ext95 import build_oracles_ext95
     from .queries_ext96 import build_oracles_ext96
+    from .queries_ext97 import build_oracles_ext97
 
     return {
         **build_oracles_ext(),
@@ -4463,6 +4466,7 @@ def build_oracles() -> dict:
         **build_oracles_ext94(),
         **build_oracles_ext95(),
         **build_oracles_ext96(),
+        **build_oracles_ext97(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

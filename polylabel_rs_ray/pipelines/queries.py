@@ -4106,6 +4106,7 @@ def build_queries() -> dict:
     from .queries_ext95 import build_queries_ext95
     from .queries_ext96 import build_queries_ext96
     from .queries_ext97 import build_queries_ext97
+    from .queries_ext98 import build_queries_ext98
 
     return {
         **build_queries_ext(),
@@ -4205,6 +4206,7 @@ def build_queries() -> dict:
         **build_queries_ext95(),
         **build_queries_ext96(),
         **build_queries_ext97(),
+        **build_queries_ext98(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4368,6 +4370,7 @@ def build_oracles() -> dict:
     from .queries_ext95 import build_oracles_ext95
     from .queries_ext96 import build_oracles_ext96
     from .queries_ext97 import build_oracles_ext97
+    from .queries_ext98 import build_oracles_ext98
 
     return {
         **build_oracles_ext(),
@@ -4467,6 +4470,7 @@ def build_oracles() -> dict:
         **build_oracles_ext95(),
         **build_oracles_ext96(),
         **build_oracles_ext97(),
+        **build_oracles_ext98(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4107,6 +4107,7 @@ def build_queries() -> dict:
     from .queries_ext96 import build_queries_ext96
     from .queries_ext97 import build_queries_ext97
     from .queries_ext98 import build_queries_ext98
+    from .queries_ext99 import build_queries_ext99
 
     return {
         **build_queries_ext(),
@@ -4207,6 +4208,7 @@ def build_queries() -> dict:
         **build_queries_ext96(),
         **build_queries_ext97(),
         **build_queries_ext98(),
+        **build_queries_ext99(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4371,6 +4373,7 @@ def build_oracles() -> dict:
     from .queries_ext96 import build_oracles_ext96
     from .queries_ext97 import build_oracles_ext97
     from .queries_ext98 import build_oracles_ext98
+    from .queries_ext99 import build_oracles_ext99
 
     return {
         **build_oracles_ext(),
@@ -4471,6 +4474,7 @@ def build_oracles() -> dict:
         **build_oracles_ext96(),
         **build_oracles_ext97(),
         **build_oracles_ext98(),
+        **build_oracles_ext99(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

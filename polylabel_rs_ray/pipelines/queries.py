@@ -4108,6 +4108,7 @@ def build_queries() -> dict:
     from .queries_ext97 import build_queries_ext97
     from .queries_ext98 import build_queries_ext98
     from .queries_ext99 import build_queries_ext99
+    from .queries_ext100 import build_queries_ext100
 
     return {
         **build_queries_ext(),
@@ -4209,6 +4210,7 @@ def build_queries() -> dict:
         **build_queries_ext97(),
         **build_queries_ext98(),
         **build_queries_ext99(),
+        **build_queries_ext100(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4374,6 +4376,7 @@ def build_oracles() -> dict:
     from .queries_ext97 import build_oracles_ext97
     from .queries_ext98 import build_oracles_ext98
     from .queries_ext99 import build_oracles_ext99
+    from .queries_ext100 import build_oracles_ext100
 
     return {
         **build_oracles_ext(),
@@ -4475,6 +4478,7 @@ def build_oracles() -> dict:
         **build_oracles_ext97(),
         **build_oracles_ext98(),
         **build_oracles_ext99(),
+        **build_oracles_ext100(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4109,6 +4109,7 @@ def build_queries() -> dict:
     from .queries_ext98 import build_queries_ext98
     from .queries_ext99 import build_queries_ext99
     from .queries_ext100 import build_queries_ext100
+    from .queries_ext101 import build_queries_ext101
 
     return {
         **build_queries_ext(),
@@ -4211,6 +4212,7 @@ def build_queries() -> dict:
         **build_queries_ext98(),
         **build_queries_ext99(),
         **build_queries_ext100(),
+        **build_queries_ext101(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4377,6 +4379,7 @@ def build_oracles() -> dict:
     from .queries_ext98 import build_oracles_ext98
     from .queries_ext99 import build_oracles_ext99
     from .queries_ext100 import build_oracles_ext100
+    from .queries_ext101 import build_oracles_ext101
 
     return {
         **build_oracles_ext(),
@@ -4479,6 +4482,7 @@ def build_oracles() -> dict:
         **build_oracles_ext98(),
         **build_oracles_ext99(),
         **build_oracles_ext100(),
+        **build_oracles_ext101(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4110,6 +4110,7 @@ def build_queries() -> dict:
     from .queries_ext99 import build_queries_ext99
     from .queries_ext100 import build_queries_ext100
     from .queries_ext101 import build_queries_ext101
+    from .queries_ext102 import build_queries_ext102
 
     return {
         **build_queries_ext(),
@@ -4213,6 +4214,7 @@ def build_queries() -> dict:
         **build_queries_ext99(),
         **build_queries_ext100(),
         **build_queries_ext101(),
+        **build_queries_ext102(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4380,6 +4382,7 @@ def build_oracles() -> dict:
     from .queries_ext99 import build_oracles_ext99
     from .queries_ext100 import build_oracles_ext100
     from .queries_ext101 import build_oracles_ext101
+    from .queries_ext102 import build_oracles_ext102
 
     return {
         **build_oracles_ext(),
@@ -4483,6 +4486,7 @@ def build_oracles() -> dict:
         **build_oracles_ext99(),
         **build_oracles_ext100(),
         **build_oracles_ext101(),
+        **build_oracles_ext102(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4111,6 +4111,7 @@ def build_queries() -> dict:
     from .queries_ext100 import build_queries_ext100
     from .queries_ext101 import build_queries_ext101
     from .queries_ext102 import build_queries_ext102
+    from .queries_ext103 import build_queries_ext103
 
     return {
         **build_queries_ext(),
@@ -4215,6 +4216,7 @@ def build_queries() -> dict:
         **build_queries_ext100(),
         **build_queries_ext101(),
         **build_queries_ext102(),
+        **build_queries_ext103(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4383,6 +4385,7 @@ def build_oracles() -> dict:
     from .queries_ext100 import build_oracles_ext100
     from .queries_ext101 import build_oracles_ext101
     from .queries_ext102 import build_oracles_ext102
+    from .queries_ext103 import build_oracles_ext103
 
     return {
         **build_oracles_ext(),
@@ -4487,6 +4490,7 @@ def build_oracles() -> dict:
         **build_oracles_ext100(),
         **build_oracles_ext101(),
         **build_oracles_ext102(),
+        **build_oracles_ext103(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4112,6 +4112,7 @@ def build_queries() -> dict:
     from .queries_ext101 import build_queries_ext101
     from .queries_ext102 import build_queries_ext102
     from .queries_ext103 import build_queries_ext103
+    from .queries_ext104 import build_queries_ext104
 
     return {
         **build_queries_ext(),
@@ -4217,6 +4218,7 @@ def build_queries() -> dict:
         **build_queries_ext101(),
         **build_queries_ext102(),
         **build_queries_ext103(),
+        **build_queries_ext104(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4386,6 +4388,7 @@ def build_oracles() -> dict:
     from .queries_ext101 import build_oracles_ext101
     from .queries_ext102 import build_oracles_ext102
     from .queries_ext103 import build_oracles_ext103
+    from .queries_ext104 import build_oracles_ext104
 
     return {
         **build_oracles_ext(),
@@ -4491,6 +4494,7 @@ def build_oracles() -> dict:
         **build_oracles_ext101(),
         **build_oracles_ext102(),
         **build_oracles_ext103(),
+        **build_oracles_ext104(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

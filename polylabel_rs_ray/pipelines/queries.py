@@ -4113,6 +4113,7 @@ def build_queries() -> dict:
     from .queries_ext102 import build_queries_ext102
     from .queries_ext103 import build_queries_ext103
     from .queries_ext104 import build_queries_ext104
+    from .queries_ext105 import build_queries_ext105
 
     return {
         **build_queries_ext(),
@@ -4219,6 +4220,7 @@ def build_queries() -> dict:
         **build_queries_ext102(),
         **build_queries_ext103(),
         **build_queries_ext104(),
+        **build_queries_ext105(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4389,6 +4391,7 @@ def build_oracles() -> dict:
     from .queries_ext102 import build_oracles_ext102
     from .queries_ext103 import build_oracles_ext103
     from .queries_ext104 import build_oracles_ext104
+    from .queries_ext105 import build_oracles_ext105
 
     return {
         **build_oracles_ext(),
@@ -4495,6 +4498,7 @@ def build_oracles() -> dict:
         **build_oracles_ext102(),
         **build_oracles_ext103(),
         **build_oracles_ext104(),
+        **build_oracles_ext105(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4114,6 +4114,7 @@ def build_queries() -> dict:
     from .queries_ext103 import build_queries_ext103
     from .queries_ext104 import build_queries_ext104
     from .queries_ext105 import build_queries_ext105
+    from .queries_ext106 import build_queries_ext106
 
     return {
         **build_queries_ext(),
@@ -4221,6 +4222,7 @@ def build_queries() -> dict:
         **build_queries_ext103(),
         **build_queries_ext104(),
         **build_queries_ext105(),
+        **build_queries_ext106(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4392,6 +4394,7 @@ def build_oracles() -> dict:
     from .queries_ext103 import build_oracles_ext103
     from .queries_ext104 import build_oracles_ext104
     from .queries_ext105 import build_oracles_ext105
+    from .queries_ext106 import build_oracles_ext106
 
     return {
         **build_oracles_ext(),
@@ -4499,6 +4502,7 @@ def build_oracles() -> dict:
         **build_oracles_ext103(),
         **build_oracles_ext104(),
         **build_oracles_ext105(),
+        **build_oracles_ext106(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4115,6 +4115,7 @@ def build_queries() -> dict:
     from .queries_ext104 import build_queries_ext104
     from .queries_ext105 import build_queries_ext105
     from .queries_ext106 import build_queries_ext106
+    from .queries_ext107 import build_queries_ext107
 
     return {
         **build_queries_ext(),
@@ -4223,6 +4224,7 @@ def build_queries() -> dict:
         **build_queries_ext104(),
         **build_queries_ext105(),
         **build_queries_ext106(),
+        **build_queries_ext107(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4395,6 +4397,7 @@ def build_oracles() -> dict:
     from .queries_ext104 import build_oracles_ext104
     from .queries_ext105 import build_oracles_ext105
     from .queries_ext106 import build_oracles_ext106
+    from .queries_ext107 import build_oracles_ext107
 
     return {
         **build_oracles_ext(),
@@ -4503,6 +4506,7 @@ def build_oracles() -> dict:
         **build_oracles_ext104(),
         **build_oracles_ext105(),
         **build_oracles_ext106(),
+        **build_oracles_ext107(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4116,6 +4116,7 @@ def build_queries() -> dict:
     from .queries_ext105 import build_queries_ext105
     from .queries_ext106 import build_queries_ext106
     from .queries_ext107 import build_queries_ext107
+    from .queries_ext108 import build_queries_ext108
 
     return {
         **build_queries_ext(),
@@ -4225,6 +4226,7 @@ def build_queries() -> dict:
         **build_queries_ext105(),
         **build_queries_ext106(),
         **build_queries_ext107(),
+        **build_queries_ext108(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4398,6 +4400,7 @@ def build_oracles() -> dict:
     from .queries_ext105 import build_oracles_ext105
     from .queries_ext106 import build_oracles_ext106
     from .queries_ext107 import build_oracles_ext107
+    from .queries_ext108 import build_oracles_ext108
 
     return {
         **build_oracles_ext(),
@@ -4507,6 +4510,7 @@ def build_oracles() -> dict:
         **build_oracles_ext105(),
         **build_oracles_ext106(),
         **build_oracles_ext107(),
+        **build_oracles_ext108(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4117,6 +4117,7 @@ def build_queries() -> dict:
     from .queries_ext106 import build_queries_ext106
     from .queries_ext107 import build_queries_ext107
     from .queries_ext108 import build_queries_ext108
+    from .queries_ext109 import build_queries_ext109
 
     return {
         **build_queries_ext(),
@@ -4227,6 +4228,7 @@ def build_queries() -> dict:
         **build_queries_ext106(),
         **build_queries_ext107(),
         **build_queries_ext108(),
+        **build_queries_ext109(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4401,6 +4403,7 @@ def build_oracles() -> dict:
     from .queries_ext106 import build_oracles_ext106
     from .queries_ext107 import build_oracles_ext107
     from .queries_ext108 import build_oracles_ext108
+    from .queries_ext109 import build_oracles_ext109
 
     return {
         **build_oracles_ext(),
@@ -4511,6 +4514,7 @@ def build_oracles() -> dict:
         **build_oracles_ext106(),
         **build_oracles_ext107(),
         **build_oracles_ext108(),
+        **build_oracles_ext109(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

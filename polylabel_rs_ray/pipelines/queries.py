@@ -4118,6 +4118,7 @@ def build_queries() -> dict:
     from .queries_ext107 import build_queries_ext107
     from .queries_ext108 import build_queries_ext108
     from .queries_ext109 import build_queries_ext109
+    from .queries_ext110 import build_queries_ext110
 
     return {
         **build_queries_ext(),
@@ -4229,6 +4230,7 @@ def build_queries() -> dict:
         **build_queries_ext107(),
         **build_queries_ext108(),
         **build_queries_ext109(),
+        **build_queries_ext110(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4404,6 +4406,7 @@ def build_oracles() -> dict:
     from .queries_ext107 import build_oracles_ext107
     from .queries_ext108 import build_oracles_ext108
     from .queries_ext109 import build_oracles_ext109
+    from .queries_ext110 import build_oracles_ext110
 
     return {
         **build_oracles_ext(),
@@ -4515,6 +4518,7 @@ def build_oracles() -> dict:
         **build_oracles_ext107(),
         **build_oracles_ext108(),
         **build_oracles_ext109(),
+        **build_oracles_ext110(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

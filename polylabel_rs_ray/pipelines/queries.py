@@ -4119,6 +4119,7 @@ def build_queries() -> dict:
     from .queries_ext108 import build_queries_ext108
     from .queries_ext109 import build_queries_ext109
     from .queries_ext110 import build_queries_ext110
+    from .queries_ext111 import build_queries_ext111
 
     return {
         **build_queries_ext(),
@@ -4231,6 +4232,7 @@ def build_queries() -> dict:
         **build_queries_ext108(),
         **build_queries_ext109(),
         **build_queries_ext110(),
+        **build_queries_ext111(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4407,6 +4409,7 @@ def build_oracles() -> dict:
     from .queries_ext108 import build_oracles_ext108
     from .queries_ext109 import build_oracles_ext109
     from .queries_ext110 import build_oracles_ext110
+    from .queries_ext111 import build_oracles_ext111
 
     return {
         **build_oracles_ext(),
@@ -4519,6 +4522,7 @@ def build_oracles() -> dict:
         **build_oracles_ext108(),
         **build_oracles_ext109(),
         **build_oracles_ext110(),
+        **build_oracles_ext111(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4120,6 +4120,7 @@ def build_queries() -> dict:
     from .queries_ext109 import build_queries_ext109
     from .queries_ext110 import build_queries_ext110
     from .queries_ext111 import build_queries_ext111
+    from .queries_ext112 import build_queries_ext112
 
     return {
         **build_queries_ext(),
@@ -4233,6 +4234,7 @@ def build_queries() -> dict:
         **build_queries_ext109(),
         **build_queries_ext110(),
         **build_queries_ext111(),
+        **build_queries_ext112(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4410,6 +4412,7 @@ def build_oracles() -> dict:
     from .queries_ext109 import build_oracles_ext109
     from .queries_ext110 import build_oracles_ext110
     from .queries_ext111 import build_oracles_ext111
+    from .queries_ext112 import build_oracles_ext112
 
     return {
         **build_oracles_ext(),
@@ -4523,6 +4526,7 @@ def build_oracles() -> dict:
         **build_oracles_ext109(),
         **build_oracles_ext110(),
         **build_oracles_ext111(),
+        **build_oracles_ext112(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4121,6 +4121,7 @@ def build_queries() -> dict:
     from .queries_ext110 import build_queries_ext110
     from .queries_ext111 import build_queries_ext111
     from .queries_ext112 import build_queries_ext112
+    from .queries_ext113 import build_queries_ext113
 
     return {
         **build_queries_ext(),
@@ -4235,6 +4236,7 @@ def build_queries() -> dict:
         **build_queries_ext110(),
         **build_queries_ext111(),
         **build_queries_ext112(),
+        **build_queries_ext113(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4413,6 +4415,7 @@ def build_oracles() -> dict:
     from .queries_ext110 import build_oracles_ext110
     from .queries_ext111 import build_oracles_ext111
     from .queries_ext112 import build_oracles_ext112
+    from .queries_ext113 import build_oracles_ext113
 
     return {
         **build_oracles_ext(),
@@ -4527,6 +4530,7 @@ def build_oracles() -> dict:
         **build_oracles_ext110(),
         **build_oracles_ext111(),
         **build_oracles_ext112(),
+        **build_oracles_ext113(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4122,6 +4122,7 @@ def build_queries() -> dict:
     from .queries_ext111 import build_queries_ext111
     from .queries_ext112 import build_queries_ext112
     from .queries_ext113 import build_queries_ext113
+    from .queries_ext114 import build_queries_ext114
 
     return {
         **build_queries_ext(),
@@ -4237,6 +4238,7 @@ def build_queries() -> dict:
         **build_queries_ext111(),
         **build_queries_ext112(),
         **build_queries_ext113(),
+        **build_queries_ext114(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4416,6 +4418,7 @@ def build_oracles() -> dict:
     from .queries_ext111 import build_oracles_ext111
     from .queries_ext112 import build_oracles_ext112
     from .queries_ext113 import build_oracles_ext113
+    from .queries_ext114 import build_oracles_ext114
 
     return {
         **build_oracles_ext(),
@@ -4531,6 +4534,7 @@ def build_oracles() -> dict:
         **build_oracles_ext111(),
         **build_oracles_ext112(),
         **build_oracles_ext113(),
+        **build_oracles_ext114(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -194,13 +194,9 @@ def hash_grouped_aggregate(ds, keys: list[str], specs: list[tuple],
     from .util import coalesce_for_shuffle, shuffle_blocks
 
     P = int(n_parts or min(32, shuffle_blocks()))
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for k in keys:
-            col = batch.column(k).to_numpy().astype(np.uint64)
-            h = (h * GOLD) ^ ((col * GOLD) >> np.uint64(29))
+        h = _key_hash(batch, keys)  # int + string keys (polars fixed seed)
         return batch.append_column(
             "__gpart", pa.array((h % np.uint64(P)).astype(np.int64), type=pa.int64())
         )

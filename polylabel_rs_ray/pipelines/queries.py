@@ -4123,6 +4123,7 @@ def build_queries() -> dict:
     from .queries_ext112 import build_queries_ext112
     from .queries_ext113 import build_queries_ext113
     from .queries_ext114 import build_queries_ext114
+    from .queries_ext115 import build_queries_ext115
 
     return {
         **build_queries_ext(),
@@ -4239,6 +4240,7 @@ def build_queries() -> dict:
         **build_queries_ext112(),
         **build_queries_ext113(),
         **build_queries_ext114(),
+        **build_queries_ext115(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4419,6 +4421,7 @@ def build_oracles() -> dict:
     from .queries_ext112 import build_oracles_ext112
     from .queries_ext113 import build_oracles_ext113
     from .queries_ext114 import build_oracles_ext114
+    from .queries_ext115 import build_oracles_ext115
 
     return {
         **build_oracles_ext(),
@@ -4535,6 +4538,7 @@ def build_oracles() -> dict:
         **build_oracles_ext112(),
         **build_oracles_ext113(),
         **build_oracles_ext114(),
+        **build_oracles_ext115(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

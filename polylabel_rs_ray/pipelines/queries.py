@@ -4124,6 +4124,7 @@ def build_queries() -> dict:
     from .queries_ext113 import build_queries_ext113
     from .queries_ext114 import build_queries_ext114
     from .queries_ext115 import build_queries_ext115
+    from .queries_ext116 import build_queries_ext116
 
     return {
         **build_queries_ext(),
@@ -4241,6 +4242,7 @@ def build_queries() -> dict:
         **build_queries_ext113(),
         **build_queries_ext114(),
         **build_queries_ext115(),
+        **build_queries_ext116(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4422,6 +4424,7 @@ def build_oracles() -> dict:
     from .queries_ext113 import build_oracles_ext113
     from .queries_ext114 import build_oracles_ext114
     from .queries_ext115 import build_oracles_ext115
+    from .queries_ext116 import build_oracles_ext116
 
     return {
         **build_oracles_ext(),
@@ -4539,6 +4542,7 @@ def build_oracles() -> dict:
         **build_oracles_ext113(),
         **build_oracles_ext114(),
         **build_oracles_ext115(),
+        **build_oracles_ext116(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

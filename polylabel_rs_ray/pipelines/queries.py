@@ -4125,6 +4125,7 @@ def build_queries() -> dict:
     from .queries_ext114 import build_queries_ext114
     from .queries_ext115 import build_queries_ext115
     from .queries_ext116 import build_queries_ext116
+    from .queries_ext117 import build_queries_ext117
 
     return {
         **build_queries_ext(),
@@ -4243,6 +4244,7 @@ def build_queries() -> dict:
         **build_queries_ext114(),
         **build_queries_ext115(),
         **build_queries_ext116(),
+        **build_queries_ext117(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4425,6 +4427,7 @@ def build_oracles() -> dict:
     from .queries_ext114 import build_oracles_ext114
     from .queries_ext115 import build_oracles_ext115
     from .queries_ext116 import build_oracles_ext116
+    from .queries_ext117 import build_oracles_ext117
 
     return {
         **build_oracles_ext(),
@@ -4543,6 +4546,7 @@ def build_oracles() -> dict:
         **build_oracles_ext114(),
         **build_oracles_ext115(),
         **build_oracles_ext116(),
+        **build_oracles_ext117(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

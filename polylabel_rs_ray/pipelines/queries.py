@@ -4126,6 +4126,7 @@ def build_queries() -> dict:
     from .queries_ext115 import build_queries_ext115
     from .queries_ext116 import build_queries_ext116
     from .queries_ext117 import build_queries_ext117
+    from .queries_ext118 import build_queries_ext118
 
     return {
         **build_queries_ext(),
@@ -4245,6 +4246,7 @@ def build_queries() -> dict:
         **build_queries_ext115(),
         **build_queries_ext116(),
         **build_queries_ext117(),
+        **build_queries_ext118(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4428,6 +4430,7 @@ def build_oracles() -> dict:
     from .queries_ext115 import build_oracles_ext115
     from .queries_ext116 import build_oracles_ext116
     from .queries_ext117 import build_oracles_ext117
+    from .queries_ext118 import build_oracles_ext118
 
     return {
         **build_oracles_ext(),
@@ -4547,6 +4550,7 @@ def build_oracles() -> dict:
         **build_oracles_ext115(),
         **build_oracles_ext116(),
         **build_oracles_ext117(),
+        **build_oracles_ext118(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4127,6 +4127,7 @@ def build_queries() -> dict:
     from .queries_ext116 import build_queries_ext116
     from .queries_ext117 import build_queries_ext117
     from .queries_ext118 import build_queries_ext118
+    from .queries_ext119 import build_queries_ext119
 
     return {
         **build_queries_ext(),
@@ -4247,6 +4248,7 @@ def build_queries() -> dict:
         **build_queries_ext116(),
         **build_queries_ext117(),
         **build_queries_ext118(),
+        **build_queries_ext119(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4431,6 +4433,7 @@ def build_oracles() -> dict:
     from .queries_ext116 import build_oracles_ext116
     from .queries_ext117 import build_oracles_ext117
     from .queries_ext118 import build_oracles_ext118
+    from .queries_ext119 import build_oracles_ext119
 
     return {
         **build_oracles_ext(),
@@ -4551,6 +4554,7 @@ def build_oracles() -> dict:
         **build_oracles_ext116(),
         **build_oracles_ext117(),
         **build_oracles_ext118(),
+        **build_oracles_ext119(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4128,6 +4128,7 @@ def build_queries() -> dict:
     from .queries_ext117 import build_queries_ext117
     from .queries_ext118 import build_queries_ext118
     from .queries_ext119 import build_queries_ext119
+    from .queries_ext120 import build_queries_ext120
 
     return {
         **build_queries_ext(),
@@ -4249,6 +4250,7 @@ def build_queries() -> dict:
         **build_queries_ext117(),
         **build_queries_ext118(),
         **build_queries_ext119(),
+        **build_queries_ext120(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4434,6 +4436,7 @@ def build_oracles() -> dict:
     from .queries_ext117 import build_oracles_ext117
     from .queries_ext118 import build_oracles_ext118
     from .queries_ext119 import build_oracles_ext119
+    from .queries_ext120 import build_oracles_ext120
 
     return {
         **build_oracles_ext(),
@@ -4555,6 +4558,7 @@ def build_oracles() -> dict:
         **build_oracles_ext117(),
         **build_oracles_ext118(),
         **build_oracles_ext119(),
+        **build_oracles_ext120(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

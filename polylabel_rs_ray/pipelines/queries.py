@@ -4129,6 +4129,7 @@ def build_queries() -> dict:
     from .queries_ext118 import build_queries_ext118
     from .queries_ext119 import build_queries_ext119
     from .queries_ext120 import build_queries_ext120
+    from .queries_ext121 import build_queries_ext121
 
     return {
         **build_queries_ext(),
@@ -4251,6 +4252,7 @@ def build_queries() -> dict:
         **build_queries_ext118(),
         **build_queries_ext119(),
         **build_queries_ext120(),
+        **build_queries_ext121(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4437,6 +4439,7 @@ def build_oracles() -> dict:
     from .queries_ext118 import build_oracles_ext118
     from .queries_ext119 import build_oracles_ext119
     from .queries_ext120 import build_oracles_ext120
+    from .queries_ext121 import build_oracles_ext121
 
     return {
         **build_oracles_ext(),
@@ -4559,6 +4562,7 @@ def build_oracles() -> dict:
         **build_oracles_ext118(),
         **build_oracles_ext119(),
         **build_oracles_ext120(),
+        **build_oracles_ext121(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4130,6 +4130,7 @@ def build_queries() -> dict:
     from .queries_ext119 import build_queries_ext119
     from .queries_ext120 import build_queries_ext120
     from .queries_ext121 import build_queries_ext121
+    from .queries_ext122 import build_queries_ext122
 
     return {
         **build_queries_ext(),
@@ -4253,6 +4254,7 @@ def build_queries() -> dict:
         **build_queries_ext119(),
         **build_queries_ext120(),
         **build_queries_ext121(),
+        **build_queries_ext122(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4440,6 +4442,7 @@ def build_oracles() -> dict:
     from .queries_ext119 import build_oracles_ext119
     from .queries_ext120 import build_oracles_ext120
     from .queries_ext121 import build_oracles_ext121
+    from .queries_ext122 import build_oracles_ext122
 
     return {
         **build_oracles_ext(),
@@ -4563,6 +4566,7 @@ def build_oracles() -> dict:
         **build_oracles_ext119(),
         **build_oracles_ext120(),
         **build_oracles_ext121(),
+        **build_oracles_ext122(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

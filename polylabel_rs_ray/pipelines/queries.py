@@ -4131,6 +4131,7 @@ def build_queries() -> dict:
     from .queries_ext120 import build_queries_ext120
     from .queries_ext121 import build_queries_ext121
     from .queries_ext122 import build_queries_ext122
+    from .queries_ext123 import build_queries_ext123
 
     return {
         **build_queries_ext(),
@@ -4255,6 +4256,7 @@ def build_queries() -> dict:
         **build_queries_ext120(),
         **build_queries_ext121(),
         **build_queries_ext122(),
+        **build_queries_ext123(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4443,6 +4445,7 @@ def build_oracles() -> dict:
     from .queries_ext120 import build_oracles_ext120
     from .queries_ext121 import build_oracles_ext121
     from .queries_ext122 import build_oracles_ext122
+    from .queries_ext123 import build_oracles_ext123
 
     return {
         **build_oracles_ext(),
@@ -4567,6 +4570,7 @@ def build_oracles() -> dict:
         **build_oracles_ext120(),
         **build_oracles_ext121(),
         **build_oracles_ext122(),
+        **build_oracles_ext123(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

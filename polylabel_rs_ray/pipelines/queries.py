@@ -4132,6 +4132,7 @@ def build_queries() -> dict:
     from .queries_ext121 import build_queries_ext121
     from .queries_ext122 import build_queries_ext122
     from .queries_ext123 import build_queries_ext123
+    from .queries_ext124 import build_queries_ext124
 
     return {
         **build_queries_ext(),
@@ -4257,6 +4258,7 @@ def build_queries() -> dict:
         **build_queries_ext121(),
         **build_queries_ext122(),
         **build_queries_ext123(),
+        **build_queries_ext124(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4446,6 +4448,7 @@ def build_oracles() -> dict:
     from .queries_ext121 import build_oracles_ext121
     from .queries_ext122 import build_oracles_ext122
     from .queries_ext123 import build_oracles_ext123
+    from .queries_ext124 import build_oracles_ext124
 
     return {
         **build_oracles_ext(),
@@ -4571,6 +4574,7 @@ def build_oracles() -> dict:
         **build_oracles_ext121(),
         **build_oracles_ext122(),
         **build_oracles_ext123(),
+        **build_oracles_ext124(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4133,6 +4133,7 @@ def build_queries() -> dict:
     from .queries_ext122 import build_queries_ext122
     from .queries_ext123 import build_queries_ext123
     from .queries_ext124 import build_queries_ext124
+    from .queries_ext125 import build_queries_ext125
 
     return {
         **build_queries_ext(),
@@ -4259,6 +4260,7 @@ def build_queries() -> dict:
         **build_queries_ext122(),
         **build_queries_ext123(),
         **build_queries_ext124(),
+        **build_queries_ext125(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4449,6 +4451,7 @@ def build_oracles() -> dict:
     from .queries_ext122 import build_oracles_ext122
     from .queries_ext123 import build_oracles_ext123
     from .queries_ext124 import build_oracles_ext124
+    from .queries_ext125 import build_oracles_ext125
 
     return {
         **build_oracles_ext(),
@@ -4575,6 +4578,7 @@ def build_oracles() -> dict:
         **build_oracles_ext122(),
         **build_oracles_ext123(),
         **build_oracles_ext124(),
+        **build_oracles_ext125(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -1,0 +1,223 @@
+"""Round-3 extension operators, batch 125: SQ8 1-NN label-consistency
+audit + per-dimension quantization profile.
+
+``sq8_1nn_label_audit`` — the leave-one-out 1-NN label-consistency
+evaluation of the embedding space (the standard "is my embedding
+model separating classes" check): for EVERY vector, the nearest OTHER
+vector under the integer SQ8 L2 ADC (ties break to the smaller
+vec_id via the packed ``(d2 << 40) | id`` key, the sq8_topk
+discipline) and whether its label matches.  All-integer distances
+make the oracle bit-exact including the distance column.  Scale
+shape: the quantized code matrix + labels broadcast ONCE (ray.put —
+the embedding table here is the bounded evaluation split, ~2k × 64
+uint8 codes ≈ 128 KB); each batch scores its rows against the
+broadcast side with one int64 Gram matmul, self-matches masked by
+vec_id.  At a 100-TB corpus scale the all-pairs form is the k-NN-join
+problem and would go through the LSH/IVF bucketing paths
+(embedding_near_dup / ivf_topk); the broadcast form is the right
+shape for evaluation-split sized inputs and is annotated as such.
+
+``sq8_dim_profile`` — the quantization-table audit: per embedding
+dimension, the exact int64 count, code sum and code square-sum of the
+SQ8 codes (64-row bounded output; per-batch 64-row partials through
+the map-side combine).  Catches min/max-stat drift and degenerate
+dimensions (span collapsed to the epsilon guard).
+
+Both replay DuckDB's quantization IEEE-exactly: float32 widened to
+float64 (exact), ``floor(((x - mn) * 255.0) / span)`` in the same
+operation order, clipped to [0, 255].
+
+Reference anchors: similarity-search family (SURVEY.md §2.4);
+siblings: sq8_topk (codes + packed-key tie discipline), ann_topk,
+embedding_gram (integer-exact linear algebra), lang_confusion
+(evaluation-split audit shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .queries_ext32 import _minmax, _quantize
+
+
+def _ray():
+    import ray
+
+    return ray
+
+
+_SQL_CODES = """
+WITH dims AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), stats AS (
+  SELECT d, MIN(x) AS mn,
+         CASE WHEN MAX(x) > MIN(x) THEN MAX(x) - MIN(x) ELSE 1.0 END AS span
+  FROM dims GROUP BY d
+), codes AS (
+  SELECT v.vec_id, v.d,
+         LEAST(255, GREATEST(0,
+             CAST(FLOOR(((v.x - s.mn) * 255.0) / s.span) AS BIGINT))) AS code
+  FROM dims v JOIN stats s USING (d)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# sq8_1nn_label_audit
+# --------------------------------------------------------------------------
+
+
+class _NnScorer:
+    """map_batches stage: batch rows vs the broadcast code matrix —
+    one int64 Gram matmul, self masked, packed-key argmin."""
+
+    def __init__(self, codes_ref, mn, span):
+        import ray
+
+        self.mn = mn
+        self.span = span
+        ids, labels, codes = ray.get(codes_ref)
+        self.ids = ids
+        self.labels = labels
+        self.codes = codes                       # (N, dim) int64
+        self.c2 = (codes * codes).sum(axis=1)    # (N,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.sim import embedding_matrix
+
+        qc = _quantize(embedding_matrix(batch), self.mn, self.span)
+        qids = batch.column("vec_id").to_numpy().astype(np.int64)
+        qlab = batch.column("label").to_numpy().astype(np.int64)
+        q2 = (qc * qc).sum(axis=1)
+        d2 = q2[:, None] + self.c2[None, :] - 2 * (qc @ self.codes.T)
+        packed = (d2 << np.int64(40)) | self.ids[None, :]
+        packed[qids[:, None] == self.ids[None, :]] = np.iinfo(np.int64).max
+        best = np.argmin(packed, axis=1)
+        nn_id = self.ids[best]
+        nn_lab = self.labels[best]
+        nn_d2 = d2[np.arange(len(qids)), best]
+        return pa.table({
+            "vec_id": pa.array(qids, type=pa.int64()),
+            "label": pa.array(qlab, type=pa.int64()),
+            "nn_id": pa.array(nn_id, type=pa.int64()),
+            "nn_label": pa.array(nn_lab, type=pa.int64()),
+            "nn_d2": pa.array(nn_d2, type=pa.int64()),
+            "same_label": pa.array((qlab == nn_lab).astype(np.int64),
+                                   type=pa.int64()),
+        })
+
+
+def q_sq8_1nn_label_audit(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from ..functions.sim import embedding_matrix
+    from ..stages.util import actor_concurrency
+
+    ray = _ray()
+    mn, mx = _minmax(sf_dir)
+    span = np.where(mx > mn, mx - mn, 1.0)
+
+    # bounded evaluation split: quantize + broadcast once
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    codes = _quantize(embedding_matrix(t), mn, span)
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    labels = t.column("label").to_numpy().astype(np.int64)
+    codes_ref = ray.put((ids, labels, codes))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return ds.map_batches(
+        _NnScorer,
+        fn_constructor_kwargs={"codes_ref": codes_ref, "mn": mn,
+                               "span": span},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=actor_concurrency(),
+    )
+
+
+SQL_SQ8_1NN_LABEL_AUDIT = _SQL_CODES + """
+, dist AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         SUM((a.code - b.code) * (a.code - b.code)) AS d2
+  FROM codes a JOIN codes b
+    ON a.d = b.d AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), nn AS (
+  SELECT vec_id, nn_id, CAST(d2 AS BIGINT) AS nn_d2
+  FROM dist
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY d2, nn_id) = 1
+)
+SELECT n.vec_id,
+       CAST(ea.label AS BIGINT) AS label,
+       n.nn_id,
+       CAST(eb.label AS BIGINT) AS nn_label,
+       n.nn_d2,
+       CAST(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS BIGINT)
+           AS same_label
+FROM nn n
+JOIN embeddings ea ON ea.vec_id = n.vec_id
+JOIN embeddings eb ON eb.vec_id = n.nn_id
+"""
+
+
+# --------------------------------------------------------------------------
+# sq8_dim_profile
+# --------------------------------------------------------------------------
+
+
+def q_sq8_dim_profile(sf_dir: str):
+    from ..stages.agg import grouped_aggregate
+    from ..functions.sim import embedding_matrix
+
+    ray = _ray()
+    mn, mx = _minmax(sf_dir)
+    span = np.where(mx > mn, mx - mn, 1.0)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = _quantize(embedding_matrix(batch), mn, span)
+        return pa.table({
+            "d": pa.array(np.arange(1, c.shape[1] + 1), type=pa.int64()),
+            "n": pa.array(np.full(c.shape[1], c.shape[0], dtype=np.int64)),
+            "code_sum": pa.array(c.sum(axis=0), type=pa.int64()),
+            "code_sq_sum": pa.array((c * c).sum(axis=0), type=pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["d"],
+        [("sum", "n", "n"), ("sum", "code_sum", "code_sum"),
+         ("sum", "code_sq_sum", "code_sq_sum")],
+    )
+
+
+SQL_SQ8_DIM_PROFILE = _SQL_CODES + """
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(code * code) AS BIGINT) AS code_sq_sum
+FROM codes GROUP BY d
+"""
+
+
+def build_queries_ext125() -> dict:
+    return {
+        "sq8_1nn_label_audit": q_sq8_1nn_label_audit,
+        "sq8_dim_profile": q_sq8_dim_profile,
+    }
+
+
+def build_oracles_ext125() -> dict:
+    return {
+        "sq8_1nn_label_audit": SQL_SQ8_1NN_LABEL_AUDIT,
+        "sq8_dim_profile": SQL_SQ8_DIM_PROFILE,
+    }

@@ -4134,6 +4134,7 @@ def build_queries() -> dict:
     from .queries_ext123 import build_queries_ext123
     from .queries_ext124 import build_queries_ext124
     from .queries_ext125 import build_queries_ext125
+    from .queries_ext126 import build_queries_ext126
 
     return {
         **build_queries_ext(),
@@ -4261,6 +4262,7 @@ def build_queries() -> dict:
         **build_queries_ext123(),
         **build_queries_ext124(),
         **build_queries_ext125(),
+        **build_queries_ext126(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4452,6 +4454,7 @@ def build_oracles() -> dict:
     from .queries_ext123 import build_oracles_ext123
     from .queries_ext124 import build_oracles_ext124
     from .queries_ext125 import build_oracles_ext125
+    from .queries_ext126 import build_oracles_ext126
 
     return {
         **build_oracles_ext(),
@@ -4579,6 +4582,7 @@ def build_oracles() -> dict:
         **build_oracles_ext123(),
         **build_oracles_ext124(),
         **build_oracles_ext125(),
+        **build_oracles_ext126(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

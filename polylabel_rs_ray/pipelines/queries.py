@@ -4135,6 +4135,7 @@ def build_queries() -> dict:
     from .queries_ext124 import build_queries_ext124
     from .queries_ext125 import build_queries_ext125
     from .queries_ext126 import build_queries_ext126
+    from .queries_ext127 import build_queries_ext127
 
     return {
         **build_queries_ext(),
@@ -4263,6 +4264,7 @@ def build_queries() -> dict:
         **build_queries_ext124(),
         **build_queries_ext125(),
         **build_queries_ext126(),
+        **build_queries_ext127(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4455,6 +4457,7 @@ def build_oracles() -> dict:
     from .queries_ext124 import build_oracles_ext124
     from .queries_ext125 import build_oracles_ext125
     from .queries_ext126 import build_oracles_ext126
+    from .queries_ext127 import build_oracles_ext127
 
     return {
         **build_oracles_ext(),
@@ -4583,6 +4586,7 @@ def build_oracles() -> dict:
         **build_oracles_ext124(),
         **build_oracles_ext125(),
         **build_oracles_ext126(),
+        **build_oracles_ext127(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

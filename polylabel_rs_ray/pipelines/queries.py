@@ -4136,6 +4136,7 @@ def build_queries() -> dict:
     from .queries_ext125 import build_queries_ext125
     from .queries_ext126 import build_queries_ext126
     from .queries_ext127 import build_queries_ext127
+    from .queries_ext128 import build_queries_ext128
 
     return {
         **build_queries_ext(),
@@ -4265,6 +4266,7 @@ def build_queries() -> dict:
         **build_queries_ext125(),
         **build_queries_ext126(),
         **build_queries_ext127(),
+        **build_queries_ext128(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4458,6 +4460,7 @@ def build_oracles() -> dict:
     from .queries_ext125 import build_oracles_ext125
     from .queries_ext126 import build_oracles_ext126
     from .queries_ext127 import build_oracles_ext127
+    from .queries_ext128 import build_oracles_ext128
 
     return {
         **build_oracles_ext(),
@@ -4587,6 +4590,7 @@ def build_oracles() -> dict:
         **build_oracles_ext125(),
         **build_oracles_ext126(),
         **build_oracles_ext127(),
+        **build_oracles_ext128(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

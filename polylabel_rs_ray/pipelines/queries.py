@@ -4137,6 +4137,7 @@ def build_queries() -> dict:
     from .queries_ext126 import build_queries_ext126
     from .queries_ext127 import build_queries_ext127
     from .queries_ext128 import build_queries_ext128
+    from .queries_ext129 import build_queries_ext129
 
     return {
         **build_queries_ext(),
@@ -4267,6 +4268,7 @@ def build_queries() -> dict:
         **build_queries_ext126(),
         **build_queries_ext127(),
         **build_queries_ext128(),
+        **build_queries_ext129(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4461,6 +4463,7 @@ def build_oracles() -> dict:
     from .queries_ext126 import build_oracles_ext126
     from .queries_ext127 import build_oracles_ext127
     from .queries_ext128 import build_oracles_ext128
+    from .queries_ext129 import build_oracles_ext129
 
     return {
         **build_oracles_ext(),
@@ -4591,6 +4594,7 @@ def build_oracles() -> dict:
         **build_oracles_ext126(),
         **build_oracles_ext127(),
         **build_oracles_ext128(),
+        **build_oracles_ext129(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

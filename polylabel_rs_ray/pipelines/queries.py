@@ -4138,6 +4138,7 @@ def build_queries() -> dict:
     from .queries_ext127 import build_queries_ext127
     from .queries_ext128 import build_queries_ext128
     from .queries_ext129 import build_queries_ext129
+    from .queries_ext130 import build_queries_ext130
 
     return {
         **build_queries_ext(),
@@ -4269,6 +4270,7 @@ def build_queries() -> dict:
         **build_queries_ext127(),
         **build_queries_ext128(),
         **build_queries_ext129(),
+        **build_queries_ext130(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4464,6 +4466,7 @@ def build_oracles() -> dict:
     from .queries_ext127 import build_oracles_ext127
     from .queries_ext128 import build_oracles_ext128
     from .queries_ext129 import build_oracles_ext129
+    from .queries_ext130 import build_oracles_ext130
 
     return {
         **build_oracles_ext(),
@@ -4595,6 +4598,7 @@ def build_oracles() -> dict:
         **build_oracles_ext127(),
         **build_oracles_ext128(),
         **build_oracles_ext129(),
+        **build_oracles_ext130(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

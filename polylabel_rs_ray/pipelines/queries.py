@@ -4139,6 +4139,7 @@ def build_queries() -> dict:
     from .queries_ext128 import build_queries_ext128
     from .queries_ext129 import build_queries_ext129
     from .queries_ext130 import build_queries_ext130
+    from .queries_ext131 import build_queries_ext131
 
     return {
         **build_queries_ext(),
@@ -4271,6 +4272,7 @@ def build_queries() -> dict:
         **build_queries_ext128(),
         **build_queries_ext129(),
         **build_queries_ext130(),
+        **build_queries_ext131(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4467,6 +4469,7 @@ def build_oracles() -> dict:
     from .queries_ext128 import build_oracles_ext128
     from .queries_ext129 import build_oracles_ext129
     from .queries_ext130 import build_oracles_ext130
+    from .queries_ext131 import build_oracles_ext131
 
     return {
         **build_oracles_ext(),
@@ -4599,6 +4602,7 @@ def build_oracles() -> dict:
         **build_oracles_ext128(),
         **build_oracles_ext129(),
         **build_oracles_ext130(),
+        **build_oracles_ext131(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

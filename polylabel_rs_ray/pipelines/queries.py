@@ -4140,6 +4140,7 @@ def build_queries() -> dict:
     from .queries_ext129 import build_queries_ext129
     from .queries_ext130 import build_queries_ext130
     from .queries_ext131 import build_queries_ext131
+    from .queries_ext132 import build_queries_ext132
 
     return {
         **build_queries_ext(),
@@ -4273,6 +4274,7 @@ def build_queries() -> dict:
         **build_queries_ext129(),
         **build_queries_ext130(),
         **build_queries_ext131(),
+        **build_queries_ext132(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4470,6 +4472,7 @@ def build_oracles() -> dict:
     from .queries_ext129 import build_oracles_ext129
     from .queries_ext130 import build_oracles_ext130
     from .queries_ext131 import build_oracles_ext131
+    from .queries_ext132 import build_oracles_ext132
 
     return {
         **build_oracles_ext(),
@@ -4603,6 +4606,7 @@ def build_oracles() -> dict:
         **build_oracles_ext129(),
         **build_oracles_ext130(),
         **build_oracles_ext131(),
+        **build_oracles_ext132(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

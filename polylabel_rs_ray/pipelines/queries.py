@@ -4141,6 +4141,7 @@ def build_queries() -> dict:
     from .queries_ext130 import build_queries_ext130
     from .queries_ext131 import build_queries_ext131
     from .queries_ext132 import build_queries_ext132
+    from .queries_ext133 import build_queries_ext133
 
     return {
         **build_queries_ext(),
@@ -4275,6 +4276,7 @@ def build_queries() -> dict:
         **build_queries_ext130(),
         **build_queries_ext131(),
         **build_queries_ext132(),
+        **build_queries_ext133(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4473,6 +4475,7 @@ def build_oracles() -> dict:
     from .queries_ext130 import build_oracles_ext130
     from .queries_ext131 import build_oracles_ext131
     from .queries_ext132 import build_oracles_ext132
+    from .queries_ext133 import build_oracles_ext133
 
     return {
         **build_oracles_ext(),
@@ -4607,6 +4610,7 @@ def build_oracles() -> dict:
         **build_oracles_ext130(),
         **build_oracles_ext131(),
         **build_oracles_ext132(),
+        **build_oracles_ext133(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

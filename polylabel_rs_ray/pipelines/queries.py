@@ -4142,6 +4142,7 @@ def build_queries() -> dict:
     from .queries_ext131 import build_queries_ext131
     from .queries_ext132 import build_queries_ext132
     from .queries_ext133 import build_queries_ext133
+    from .queries_ext134 import build_queries_ext134
 
     return {
         **build_queries_ext(),
@@ -4277,6 +4278,7 @@ def build_queries() -> dict:
         **build_queries_ext131(),
         **build_queries_ext132(),
         **build_queries_ext133(),
+        **build_queries_ext134(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4476,6 +4478,7 @@ def build_oracles() -> dict:
     from .queries_ext131 import build_oracles_ext131
     from .queries_ext132 import build_oracles_ext132
     from .queries_ext133 import build_oracles_ext133
+    from .queries_ext134 import build_oracles_ext134
 
     return {
         **build_oracles_ext(),
@@ -4611,6 +4614,7 @@ def build_oracles() -> dict:
         **build_oracles_ext131(),
         **build_oracles_ext132(),
         **build_oracles_ext133(),
+        **build_oracles_ext134(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4143,6 +4143,7 @@ def build_queries() -> dict:
     from .queries_ext132 import build_queries_ext132
     from .queries_ext133 import build_queries_ext133
     from .queries_ext134 import build_queries_ext134
+    from .queries_ext135 import build_queries_ext135
 
     return {
         **build_queries_ext(),
@@ -4279,6 +4280,7 @@ def build_queries() -> dict:
         **build_queries_ext132(),
         **build_queries_ext133(),
         **build_queries_ext134(),
+        **build_queries_ext135(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4479,6 +4481,7 @@ def build_oracles() -> dict:
     from .queries_ext132 import build_oracles_ext132
     from .queries_ext133 import build_oracles_ext133
     from .queries_ext134 import build_oracles_ext134
+    from .queries_ext135 import build_oracles_ext135
 
     return {
         **build_oracles_ext(),
@@ -4615,6 +4618,7 @@ def build_oracles() -> dict:
         **build_oracles_ext132(),
         **build_oracles_ext133(),
         **build_oracles_ext134(),
+        **build_oracles_ext135(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

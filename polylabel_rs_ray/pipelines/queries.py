@@ -4144,6 +4144,7 @@ def build_queries() -> dict:
     from .queries_ext133 import build_queries_ext133
     from .queries_ext134 import build_queries_ext134
     from .queries_ext135 import build_queries_ext135
+    from .queries_ext136 import build_queries_ext136
 
     return {
         **build_queries_ext(),
@@ -4281,6 +4282,7 @@ def build_queries() -> dict:
         **build_queries_ext133(),
         **build_queries_ext134(),
         **build_queries_ext135(),
+        **build_queries_ext136(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4482,6 +4484,7 @@ def build_oracles() -> dict:
     from .queries_ext133 import build_oracles_ext133
     from .queries_ext134 import build_oracles_ext134
     from .queries_ext135 import build_oracles_ext135
+    from .queries_ext136 import build_oracles_ext136
 
     return {
         **build_oracles_ext(),
@@ -4619,6 +4622,7 @@ def build_oracles() -> dict:
         **build_oracles_ext133(),
         **build_oracles_ext134(),
         **build_oracles_ext135(),
+        **build_oracles_ext136(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4145,6 +4145,7 @@ def build_queries() -> dict:
     from .queries_ext134 import build_queries_ext134
     from .queries_ext135 import build_queries_ext135
     from .queries_ext136 import build_queries_ext136
+    from .queries_ext137 import build_queries_ext137
 
     return {
         **build_queries_ext(),
@@ -4283,6 +4284,7 @@ def build_queries() -> dict:
         **build_queries_ext134(),
         **build_queries_ext135(),
         **build_queries_ext136(),
+        **build_queries_ext137(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4485,6 +4487,7 @@ def build_oracles() -> dict:
     from .queries_ext134 import build_oracles_ext134
     from .queries_ext135 import build_oracles_ext135
     from .queries_ext136 import build_oracles_ext136
+    from .queries_ext137 import build_oracles_ext137
 
     return {
         **build_oracles_ext(),
@@ -4623,6 +4626,7 @@ def build_oracles() -> dict:
         **build_oracles_ext134(),
         **build_oracles_ext135(),
         **build_oracles_ext136(),
+        **build_oracles_ext137(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4146,6 +4146,7 @@ def build_queries() -> dict:
     from .queries_ext135 import build_queries_ext135
     from .queries_ext136 import build_queries_ext136
     from .queries_ext137 import build_queries_ext137
+    from .queries_ext138 import build_queries_ext138
 
     return {
         **build_queries_ext(),
@@ -4285,6 +4286,7 @@ def build_queries() -> dict:
         **build_queries_ext135(),
         **build_queries_ext136(),
         **build_queries_ext137(),
+        **build_queries_ext138(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4488,6 +4490,7 @@ def build_oracles() -> dict:
     from .queries_ext135 import build_oracles_ext135
     from .queries_ext136 import build_oracles_ext136
     from .queries_ext137 import build_oracles_ext137
+    from .queries_ext138 import build_oracles_ext138
 
     return {
         **build_oracles_ext(),
@@ -4627,6 +4630,7 @@ def build_oracles() -> dict:
         **build_oracles_ext135(),
         **build_oracles_ext136(),
         **build_oracles_ext137(),
+        **build_oracles_ext138(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

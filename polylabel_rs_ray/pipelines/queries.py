@@ -4147,6 +4147,7 @@ def build_queries() -> dict:
     from .queries_ext136 import build_queries_ext136
     from .queries_ext137 import build_queries_ext137
     from .queries_ext138 import build_queries_ext138
+    from .queries_ext139 import build_queries_ext139
 
     return {
         **build_queries_ext(),
@@ -4287,6 +4288,7 @@ def build_queries() -> dict:
         **build_queries_ext136(),
         **build_queries_ext137(),
         **build_queries_ext138(),
+        **build_queries_ext139(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4491,6 +4493,7 @@ def build_oracles() -> dict:
     from .queries_ext136 import build_oracles_ext136
     from .queries_ext137 import build_oracles_ext137
     from .queries_ext138 import build_oracles_ext138
+    from .queries_ext139 import build_oracles_ext139
 
     return {
         **build_oracles_ext(),
@@ -4631,6 +4634,7 @@ def build_oracles() -> dict:
         **build_oracles_ext136(),
         **build_oracles_ext137(),
         **build_oracles_ext138(),
+        **build_oracles_ext139(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4148,6 +4148,7 @@ def build_queries() -> dict:
     from .queries_ext137 import build_queries_ext137
     from .queries_ext138 import build_queries_ext138
     from .queries_ext139 import build_queries_ext139
+    from .queries_ext140 import build_queries_ext140
 
     return {
         **build_queries_ext(),
@@ -4289,6 +4290,7 @@ def build_queries() -> dict:
         **build_queries_ext137(),
         **build_queries_ext138(),
         **build_queries_ext139(),
+        **build_queries_ext140(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4494,6 +4496,7 @@ def build_oracles() -> dict:
     from .queries_ext137 import build_oracles_ext137
     from .queries_ext138 import build_oracles_ext138
     from .queries_ext139 import build_oracles_ext139
+    from .queries_ext140 import build_oracles_ext140
 
     return {
         **build_oracles_ext(),
@@ -4635,6 +4638,7 @@ def build_oracles() -> dict:
         **build_oracles_ext137(),
         **build_oracles_ext138(),
         **build_oracles_ext139(),
+        **build_oracles_ext140(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

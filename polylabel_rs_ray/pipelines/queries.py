@@ -4149,6 +4149,7 @@ def build_queries() -> dict:
     from .queries_ext138 import build_queries_ext138
     from .queries_ext139 import build_queries_ext139
     from .queries_ext140 import build_queries_ext140
+    from .queries_ext141 import build_queries_ext141
 
     return {
         **build_queries_ext(),
@@ -4291,6 +4292,7 @@ def build_queries() -> dict:
         **build_queries_ext138(),
         **build_queries_ext139(),
         **build_queries_ext140(),
+        **build_queries_ext141(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4497,6 +4499,7 @@ def build_oracles() -> dict:
     from .queries_ext138 import build_oracles_ext138
     from .queries_ext139 import build_oracles_ext139
     from .queries_ext140 import build_oracles_ext140
+    from .queries_ext141 import build_oracles_ext141
 
     return {
         **build_oracles_ext(),
@@ -4639,6 +4642,7 @@ def build_oracles() -> dict:
         **build_oracles_ext138(),
         **build_oracles_ext139(),
         **build_oracles_ext140(),
+        **build_oracles_ext141(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4150,6 +4150,7 @@ def build_queries() -> dict:
     from .queries_ext139 import build_queries_ext139
     from .queries_ext140 import build_queries_ext140
     from .queries_ext141 import build_queries_ext141
+    from .queries_ext142 import build_queries_ext142
 
     return {
         **build_queries_ext(),
@@ -4293,6 +4294,7 @@ def build_queries() -> dict:
         **build_queries_ext139(),
         **build_queries_ext140(),
         **build_queries_ext141(),
+        **build_queries_ext142(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4500,6 +4502,7 @@ def build_oracles() -> dict:
     from .queries_ext139 import build_oracles_ext139
     from .queries_ext140 import build_oracles_ext140
     from .queries_ext141 import build_oracles_ext141
+    from .queries_ext142 import build_oracles_ext142
 
     return {
         **build_oracles_ext(),
@@ -4643,6 +4646,7 @@ def build_oracles() -> dict:
         **build_oracles_ext139(),
         **build_oracles_ext140(),
         **build_oracles_ext141(),
+        **build_oracles_ext142(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

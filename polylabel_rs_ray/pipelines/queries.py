@@ -4151,6 +4151,7 @@ def build_queries() -> dict:
     from .queries_ext140 import build_queries_ext140
     from .queries_ext141 import build_queries_ext141
     from .queries_ext142 import build_queries_ext142
+    from .queries_ext143 import build_queries_ext143
 
     return {
         **build_queries_ext(),
@@ -4295,6 +4296,7 @@ def build_queries() -> dict:
         **build_queries_ext140(),
         **build_queries_ext141(),
         **build_queries_ext142(),
+        **build_queries_ext143(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4503,6 +4505,7 @@ def build_oracles() -> dict:
     from .queries_ext140 import build_oracles_ext140
     from .queries_ext141 import build_oracles_ext141
     from .queries_ext142 import build_oracles_ext142
+    from .queries_ext143 import build_oracles_ext143
 
     return {
         **build_oracles_ext(),
@@ -4647,6 +4650,7 @@ def build_oracles() -> dict:
         **build_oracles_ext140(),
         **build_oracles_ext141(),
         **build_oracles_ext142(),
+        **build_oracles_ext143(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4152,6 +4152,7 @@ def build_queries() -> dict:
     from .queries_ext141 import build_queries_ext141
     from .queries_ext142 import build_queries_ext142
     from .queries_ext143 import build_queries_ext143
+    from .queries_ext144 import build_queries_ext144
 
     return {
         **build_queries_ext(),
@@ -4297,6 +4298,7 @@ def build_queries() -> dict:
         **build_queries_ext141(),
         **build_queries_ext142(),
         **build_queries_ext143(),
+        **build_queries_ext144(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4506,6 +4508,7 @@ def build_oracles() -> dict:
     from .queries_ext141 import build_oracles_ext141
     from .queries_ext142 import build_oracles_ext142
     from .queries_ext143 import build_oracles_ext143
+    from .queries_ext144 import build_oracles_ext144
 
     return {
         **build_oracles_ext(),
@@ -4651,6 +4654,7 @@ def build_oracles() -> dict:
         **build_oracles_ext141(),
         **build_oracles_ext142(),
         **build_oracles_ext143(),
+        **build_oracles_ext144(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

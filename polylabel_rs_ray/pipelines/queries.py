@@ -4153,6 +4153,7 @@ def build_queries() -> dict:
     from .queries_ext142 import build_queries_ext142
     from .queries_ext143 import build_queries_ext143
     from .queries_ext144 import build_queries_ext144
+    from .queries_ext145 import build_queries_ext145
 
     return {
         **build_queries_ext(),
@@ -4299,6 +4300,7 @@ def build_queries() -> dict:
         **build_queries_ext142(),
         **build_queries_ext143(),
         **build_queries_ext144(),
+        **build_queries_ext145(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4509,6 +4511,7 @@ def build_oracles() -> dict:
     from .queries_ext142 import build_oracles_ext142
     from .queries_ext143 import build_oracles_ext143
     from .queries_ext144 import build_oracles_ext144
+    from .queries_ext145 import build_oracles_ext145
 
     return {
         **build_oracles_ext(),
@@ -4655,6 +4658,7 @@ def build_oracles() -> dict:
         **build_oracles_ext142(),
         **build_oracles_ext143(),
         **build_oracles_ext144(),
+        **build_oracles_ext145(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

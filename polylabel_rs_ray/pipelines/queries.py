@@ -4154,6 +4154,7 @@ def build_queries() -> dict:
     from .queries_ext143 import build_queries_ext143
     from .queries_ext144 import build_queries_ext144
     from .queries_ext145 import build_queries_ext145
+    from .queries_ext146 import build_queries_ext146
 
     return {
         **build_queries_ext(),
@@ -4301,6 +4302,7 @@ def build_queries() -> dict:
         **build_queries_ext143(),
         **build_queries_ext144(),
         **build_queries_ext145(),
+        **build_queries_ext146(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4512,6 +4514,7 @@ def build_oracles() -> dict:
     from .queries_ext143 import build_oracles_ext143
     from .queries_ext144 import build_oracles_ext144
     from .queries_ext145 import build_oracles_ext145
+    from .queries_ext146 import build_oracles_ext146
 
     return {
         **build_oracles_ext(),
@@ -4659,6 +4662,7 @@ def build_oracles() -> dict:
         **build_oracles_ext143(),
         **build_oracles_ext144(),
         **build_oracles_ext145(),
+        **build_oracles_ext146(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

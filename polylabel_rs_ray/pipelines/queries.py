@@ -4155,6 +4155,7 @@ def build_queries() -> dict:
     from .queries_ext144 import build_queries_ext144
     from .queries_ext145 import build_queries_ext145
     from .queries_ext146 import build_queries_ext146
+    from .queries_ext147 import build_queries_ext147
 
     return {
         **build_queries_ext(),
@@ -4303,6 +4304,7 @@ def build_queries() -> dict:
         **build_queries_ext144(),
         **build_queries_ext145(),
         **build_queries_ext146(),
+        **build_queries_ext147(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4515,6 +4517,7 @@ def build_oracles() -> dict:
     from .queries_ext144 import build_oracles_ext144
     from .queries_ext145 import build_oracles_ext145
     from .queries_ext146 import build_oracles_ext146
+    from .queries_ext147 import build_oracles_ext147
 
     return {
         **build_oracles_ext(),
@@ -4663,6 +4666,7 @@ def build_oracles() -> dict:
         **build_oracles_ext144(),
         **build_oracles_ext145(),
         **build_oracles_ext146(),
+        **build_oracles_ext147(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4156,6 +4156,7 @@ def build_queries() -> dict:
     from .queries_ext145 import build_queries_ext145
     from .queries_ext146 import build_queries_ext146
     from .queries_ext147 import build_queries_ext147
+    from .queries_ext148 import build_queries_ext148
 
     return {
         **build_queries_ext(),
@@ -4305,6 +4306,7 @@ def build_queries() -> dict:
         **build_queries_ext145(),
         **build_queries_ext146(),
         **build_queries_ext147(),
+        **build_queries_ext148(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4518,6 +4520,7 @@ def build_oracles() -> dict:
     from .queries_ext145 import build_oracles_ext145
     from .queries_ext146 import build_oracles_ext146
     from .queries_ext147 import build_oracles_ext147
+    from .queries_ext148 import build_oracles_ext148
 
     return {
         **build_oracles_ext(),
@@ -4667,6 +4670,7 @@ def build_oracles() -> dict:
         **build_oracles_ext145(),
         **build_oracles_ext146(),
         **build_oracles_ext147(),
+        **build_oracles_ext148(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

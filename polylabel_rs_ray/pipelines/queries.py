@@ -4157,6 +4157,7 @@ def build_queries() -> dict:
     from .queries_ext146 import build_queries_ext146
     from .queries_ext147 import build_queries_ext147
     from .queries_ext148 import build_queries_ext148
+    from .queries_ext149 import build_queries_ext149
 
     return {
         **build_queries_ext(),
@@ -4307,6 +4308,7 @@ def build_queries() -> dict:
         **build_queries_ext146(),
         **build_queries_ext147(),
         **build_queries_ext148(),
+        **build_queries_ext149(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4521,6 +4523,7 @@ def build_oracles() -> dict:
     from .queries_ext146 import build_oracles_ext146
     from .queries_ext147 import build_oracles_ext147
     from .queries_ext148 import build_oracles_ext148
+    from .queries_ext149 import build_oracles_ext149
 
     return {
         **build_oracles_ext(),
@@ -4671,6 +4674,7 @@ def build_oracles() -> dict:
         **build_oracles_ext146(),
         **build_oracles_ext147(),
         **build_oracles_ext148(),
+        **build_oracles_ext149(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

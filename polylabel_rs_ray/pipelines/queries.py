@@ -4158,6 +4158,7 @@ def build_queries() -> dict:
     from .queries_ext147 import build_queries_ext147
     from .queries_ext148 import build_queries_ext148
     from .queries_ext149 import build_queries_ext149
+    from .queries_ext150 import build_queries_ext150
 
     return {
         **build_queries_ext(),
@@ -4309,6 +4310,7 @@ def build_queries() -> dict:
         **build_queries_ext147(),
         **build_queries_ext148(),
         **build_queries_ext149(),
+        **build_queries_ext150(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4524,6 +4526,7 @@ def build_oracles() -> dict:
     from .queries_ext147 import build_oracles_ext147
     from .queries_ext148 import build_oracles_ext148
     from .queries_ext149 import build_oracles_ext149
+    from .queries_ext150 import build_oracles_ext150
 
     return {
         **build_oracles_ext(),
@@ -4675,6 +4678,7 @@ def build_oracles() -> dict:
         **build_oracles_ext147(),
         **build_oracles_ext148(),
         **build_oracles_ext149(),
+        **build_oracles_ext150(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -45,9 +45,9 @@ def test_energy_matrix_reconciles(ray_session, con):
     n_vec = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
     assert int(d["n"].sum()) == n_vec
     lab = con.execute("""
-        SELECT CAST(label AS BIGINT) label, COUNT(*) n
+        SELECT CAST(label AS BIGINT) AS lab, COUNT(*) AS n
         FROM embeddings GROUP BY 1
-    """).df().set_index("label")["n"]
+    """).df().set_index("lab")["n"]
     got_lab = d.groupby("label")["n"].sum()
     for k, v in lab.items():
         assert got_lab[k] == v

@@ -4159,6 +4159,7 @@ def build_queries() -> dict:
     from .queries_ext148 import build_queries_ext148
     from .queries_ext149 import build_queries_ext149
     from .queries_ext150 import build_queries_ext150
+    from .queries_ext151 import build_queries_ext151
 
     return {
         **build_queries_ext(),
@@ -4311,6 +4312,7 @@ def build_queries() -> dict:
         **build_queries_ext148(),
         **build_queries_ext149(),
         **build_queries_ext150(),
+        **build_queries_ext151(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4527,6 +4529,7 @@ def build_oracles() -> dict:
     from .queries_ext148 import build_oracles_ext148
     from .queries_ext149 import build_oracles_ext149
     from .queries_ext150 import build_oracles_ext150
+    from .queries_ext151 import build_oracles_ext151
 
     return {
         **build_oracles_ext(),
@@ -4679,6 +4682,7 @@ def build_oracles() -> dict:
         **build_oracles_ext148(),
         **build_oracles_ext149(),
         **build_oracles_ext150(),
+        **build_oracles_ext151(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4160,6 +4160,7 @@ def build_queries() -> dict:
     from .queries_ext149 import build_queries_ext149
     from .queries_ext150 import build_queries_ext150
     from .queries_ext151 import build_queries_ext151
+    from .queries_ext152 import build_queries_ext152
 
     return {
         **build_queries_ext(),
@@ -4313,6 +4314,7 @@ def build_queries() -> dict:
         **build_queries_ext149(),
         **build_queries_ext150(),
         **build_queries_ext151(),
+        **build_queries_ext152(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4530,6 +4532,7 @@ def build_oracles() -> dict:
     from .queries_ext149 import build_oracles_ext149
     from .queries_ext150 import build_oracles_ext150
     from .queries_ext151 import build_oracles_ext151
+    from .queries_ext152 import build_oracles_ext152
 
     return {
         **build_oracles_ext(),
@@ -4683,6 +4686,7 @@ def build_oracles() -> dict:
         **build_oracles_ext149(),
         **build_oracles_ext150(),
         **build_oracles_ext151(),
+        **build_oracles_ext152(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4161,6 +4161,7 @@ def build_queries() -> dict:
     from .queries_ext150 import build_queries_ext150
     from .queries_ext151 import build_queries_ext151
     from .queries_ext152 import build_queries_ext152
+    from .queries_ext153 import build_queries_ext153
 
     return {
         **build_queries_ext(),
@@ -4315,6 +4316,7 @@ def build_queries() -> dict:
         **build_queries_ext150(),
         **build_queries_ext151(),
         **build_queries_ext152(),
+        **build_queries_ext153(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4533,6 +4535,7 @@ def build_oracles() -> dict:
     from .queries_ext150 import build_oracles_ext150
     from .queries_ext151 import build_oracles_ext151
     from .queries_ext152 import build_oracles_ext152
+    from .queries_ext153 import build_oracles_ext153
 
     return {
         **build_oracles_ext(),
@@ -4687,6 +4690,7 @@ def build_oracles() -> dict:
         **build_oracles_ext150(),
         **build_oracles_ext151(),
         **build_oracles_ext152(),
+        **build_oracles_ext153(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4162,6 +4162,7 @@ def build_queries() -> dict:
     from .queries_ext151 import build_queries_ext151
     from .queries_ext152 import build_queries_ext152
     from .queries_ext153 import build_queries_ext153
+    from .queries_ext154 import build_queries_ext154
 
     return {
         **build_queries_ext(),
@@ -4317,6 +4318,7 @@ def build_queries() -> dict:
         **build_queries_ext151(),
         **build_queries_ext152(),
         **build_queries_ext153(),
+        **build_queries_ext154(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4536,6 +4538,7 @@ def build_oracles() -> dict:
     from .queries_ext151 import build_oracles_ext151
     from .queries_ext152 import build_oracles_ext152
     from .queries_ext153 import build_oracles_ext153
+    from .queries_ext154 import build_oracles_ext154
 
     return {
         **build_oracles_ext(),
@@ -4691,6 +4694,7 @@ def build_oracles() -> dict:
         **build_oracles_ext151(),
         **build_oracles_ext152(),
         **build_oracles_ext153(),
+        **build_oracles_ext154(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4163,6 +4163,7 @@ def build_queries() -> dict:
     from .queries_ext152 import build_queries_ext152
     from .queries_ext153 import build_queries_ext153
     from .queries_ext154 import build_queries_ext154
+    from .queries_ext155 import build_queries_ext155
 
     return {
         **build_queries_ext(),
@@ -4319,6 +4320,7 @@ def build_queries() -> dict:
         **build_queries_ext152(),
         **build_queries_ext153(),
         **build_queries_ext154(),
+        **build_queries_ext155(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4539,6 +4541,7 @@ def build_oracles() -> dict:
     from .queries_ext152 import build_oracles_ext152
     from .queries_ext153 import build_oracles_ext153
     from .queries_ext154 import build_oracles_ext154
+    from .queries_ext155 import build_oracles_ext155
 
     return {
         **build_oracles_ext(),
@@ -4695,6 +4698,7 @@ def build_oracles() -> dict:
         **build_oracles_ext152(),
         **build_oracles_ext153(),
         **build_oracles_ext154(),
+        **build_oracles_ext155(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

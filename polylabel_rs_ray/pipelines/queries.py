@@ -4164,6 +4164,7 @@ def build_queries() -> dict:
     from .queries_ext153 import build_queries_ext153
     from .queries_ext154 import build_queries_ext154
     from .queries_ext155 import build_queries_ext155
+    from .queries_ext156 import build_queries_ext156
 
     return {
         **build_queries_ext(),
@@ -4321,6 +4322,7 @@ def build_queries() -> dict:
         **build_queries_ext153(),
         **build_queries_ext154(),
         **build_queries_ext155(),
+        **build_queries_ext156(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4542,6 +4544,7 @@ def build_oracles() -> dict:
     from .queries_ext153 import build_oracles_ext153
     from .queries_ext154 import build_oracles_ext154
     from .queries_ext155 import build_oracles_ext155
+    from .queries_ext156 import build_oracles_ext156
 
     return {
         **build_oracles_ext(),
@@ -4699,6 +4702,7 @@ def build_oracles() -> dict:
         **build_oracles_ext153(),
         **build_oracles_ext154(),
         **build_oracles_ext155(),
+        **build_oracles_ext156(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4165,6 +4165,7 @@ def build_queries() -> dict:
     from .queries_ext154 import build_queries_ext154
     from .queries_ext155 import build_queries_ext155
     from .queries_ext156 import build_queries_ext156
+    from .queries_ext157 import build_queries_ext157
 
     return {
         **build_queries_ext(),
@@ -4323,6 +4324,7 @@ def build_queries() -> dict:
         **build_queries_ext154(),
         **build_queries_ext155(),
         **build_queries_ext156(),
+        **build_queries_ext157(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4545,6 +4547,7 @@ def build_oracles() -> dict:
     from .queries_ext154 import build_oracles_ext154
     from .queries_ext155 import build_oracles_ext155
     from .queries_ext156 import build_oracles_ext156
+    from .queries_ext157 import build_oracles_ext157
 
     return {
         **build_oracles_ext(),
@@ -4703,6 +4706,7 @@ def build_oracles() -> dict:
         **build_oracles_ext154(),
         **build_oracles_ext155(),
         **build_oracles_ext156(),
+        **build_oracles_ext157(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4166,6 +4166,7 @@ def build_queries() -> dict:
     from .queries_ext155 import build_queries_ext155
     from .queries_ext156 import build_queries_ext156
     from .queries_ext157 import build_queries_ext157
+    from .queries_ext158 import build_queries_ext158
 
     return {
         **build_queries_ext(),
@@ -4325,6 +4326,7 @@ def build_queries() -> dict:
         **build_queries_ext155(),
         **build_queries_ext156(),
         **build_queries_ext157(),
+        **build_queries_ext158(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4548,6 +4550,7 @@ def build_oracles() -> dict:
     from .queries_ext155 import build_oracles_ext155
     from .queries_ext156 import build_oracles_ext156
     from .queries_ext157 import build_oracles_ext157
+    from .queries_ext158 import build_oracles_ext158
 
     return {
         **build_oracles_ext(),
@@ -4707,6 +4710,7 @@ def build_oracles() -> dict:
         **build_oracles_ext155(),
         **build_oracles_ext156(),
         **build_oracles_ext157(),
+        **build_oracles_ext158(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4167,6 +4167,7 @@ def build_queries() -> dict:
     from .queries_ext156 import build_queries_ext156
     from .queries_ext157 import build_queries_ext157
     from .queries_ext158 import build_queries_ext158
+    from .queries_ext159 import build_queries_ext159
 
     return {
         **build_queries_ext(),
@@ -4327,6 +4328,7 @@ def build_queries() -> dict:
         **build_queries_ext156(),
         **build_queries_ext157(),
         **build_queries_ext158(),
+        **build_queries_ext159(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4551,6 +4553,7 @@ def build_oracles() -> dict:
     from .queries_ext156 import build_oracles_ext156
     from .queries_ext157 import build_oracles_ext157
     from .queries_ext158 import build_oracles_ext158
+    from .queries_ext159 import build_oracles_ext159
 
     return {
         **build_oracles_ext(),
@@ -4711,6 +4714,7 @@ def build_oracles() -> dict:
         **build_oracles_ext156(),
         **build_oracles_ext157(),
         **build_oracles_ext158(),
+        **build_oracles_ext159(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -59,12 +59,12 @@ def _lattice(sf_dir: str) -> np.ndarray:
     return lat
 
 
-def _sql_grid_cte() -> str:
-    """labels + occupied lattice counts, shared by both oracles."""
+def _sql_grid_cte(tile_res: int | None = None) -> str:
+    """labels + occupied lattice counts, shared by the lattice oracles."""
     from ..config import DEFAULT_TILE_RES, WORLD_MIN, WORLD_SIZE
     from .queries import _sql_dyadic_labels_cte
 
-    n = 1 << DEFAULT_TILE_RES
+    n = 1 << (DEFAULT_TILE_RES if tile_res is None else tile_res)
     cell = WORLD_SIZE / n
     gx = (f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR((label_x - "
           f"({WORLD_MIN!r})) / {cell!r}) AS BIGINT)))")

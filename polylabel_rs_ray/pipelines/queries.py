@@ -4168,6 +4168,7 @@ def build_queries() -> dict:
     from .queries_ext157 import build_queries_ext157
     from .queries_ext158 import build_queries_ext158
     from .queries_ext159 import build_queries_ext159
+    from .queries_ext160 import build_queries_ext160
 
     return {
         **build_queries_ext(),
@@ -4329,6 +4330,7 @@ def build_queries() -> dict:
         **build_queries_ext157(),
         **build_queries_ext158(),
         **build_queries_ext159(),
+        **build_queries_ext160(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4554,6 +4556,7 @@ def build_oracles() -> dict:
     from .queries_ext157 import build_oracles_ext157
     from .queries_ext158 import build_oracles_ext158
     from .queries_ext159 import build_oracles_ext159
+    from .queries_ext160 import build_oracles_ext160
 
     return {
         **build_oracles_ext(),
@@ -4715,6 +4718,7 @@ def build_oracles() -> dict:
         **build_oracles_ext157(),
         **build_oracles_ext158(),
         **build_oracles_ext159(),
+        **build_oracles_ext160(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

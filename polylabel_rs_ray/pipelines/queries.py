@@ -4169,6 +4169,7 @@ def build_queries() -> dict:
     from .queries_ext158 import build_queries_ext158
     from .queries_ext159 import build_queries_ext159
     from .queries_ext160 import build_queries_ext160
+    from .queries_ext161 import build_queries_ext161
 
     return {
         **build_queries_ext(),
@@ -4331,6 +4332,7 @@ def build_queries() -> dict:
         **build_queries_ext158(),
         **build_queries_ext159(),
         **build_queries_ext160(),
+        **build_queries_ext161(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4557,6 +4559,7 @@ def build_oracles() -> dict:
     from .queries_ext158 import build_oracles_ext158
     from .queries_ext159 import build_oracles_ext159
     from .queries_ext160 import build_oracles_ext160
+    from .queries_ext161 import build_oracles_ext161
 
     return {
         **build_oracles_ext(),
@@ -4719,6 +4722,7 @@ def build_oracles() -> dict:
         **build_oracles_ext158(),
         **build_oracles_ext159(),
         **build_oracles_ext160(),
+        **build_oracles_ext161(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

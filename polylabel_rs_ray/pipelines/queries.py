@@ -4170,6 +4170,7 @@ def build_queries() -> dict:
     from .queries_ext159 import build_queries_ext159
     from .queries_ext160 import build_queries_ext160
     from .queries_ext161 import build_queries_ext161
+    from .queries_ext162 import build_queries_ext162
 
     return {
         **build_queries_ext(),
@@ -4333,6 +4334,7 @@ def build_queries() -> dict:
         **build_queries_ext159(),
         **build_queries_ext160(),
         **build_queries_ext161(),
+        **build_queries_ext162(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4560,6 +4562,7 @@ def build_oracles() -> dict:
     from .queries_ext159 import build_oracles_ext159
     from .queries_ext160 import build_oracles_ext160
     from .queries_ext161 import build_oracles_ext161
+    from .queries_ext162 import build_oracles_ext162
 
     return {
         **build_oracles_ext(),
@@ -4723,6 +4726,7 @@ def build_oracles() -> dict:
         **build_oracles_ext159(),
         **build_oracles_ext160(),
         **build_oracles_ext161(),
+        **build_oracles_ext162(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

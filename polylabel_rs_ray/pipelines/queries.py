@@ -4171,6 +4171,7 @@ def build_queries() -> dict:
     from .queries_ext160 import build_queries_ext160
     from .queries_ext161 import build_queries_ext161
     from .queries_ext162 import build_queries_ext162
+    from .queries_ext163 import build_queries_ext163
 
     return {
         **build_queries_ext(),
@@ -4335,6 +4336,7 @@ def build_queries() -> dict:
         **build_queries_ext160(),
         **build_queries_ext161(),
         **build_queries_ext162(),
+        **build_queries_ext163(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4563,6 +4565,7 @@ def build_oracles() -> dict:
     from .queries_ext160 import build_oracles_ext160
     from .queries_ext161 import build_oracles_ext161
     from .queries_ext162 import build_oracles_ext162
+    from .queries_ext163 import build_oracles_ext163
 
     return {
         **build_oracles_ext(),
@@ -4727,6 +4730,7 @@ def build_oracles() -> dict:
         **build_oracles_ext160(),
         **build_oracles_ext161(),
         **build_oracles_ext162(),
+        **build_oracles_ext163(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

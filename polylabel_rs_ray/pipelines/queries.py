@@ -4172,6 +4172,7 @@ def build_queries() -> dict:
     from .queries_ext161 import build_queries_ext161
     from .queries_ext162 import build_queries_ext162
     from .queries_ext163 import build_queries_ext163
+    from .queries_ext164 import build_queries_ext164
 
     return {
         **build_queries_ext(),
@@ -4337,6 +4338,7 @@ def build_queries() -> dict:
         **build_queries_ext161(),
         **build_queries_ext162(),
         **build_queries_ext163(),
+        **build_queries_ext164(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4566,6 +4568,7 @@ def build_oracles() -> dict:
     from .queries_ext161 import build_oracles_ext161
     from .queries_ext162 import build_oracles_ext162
     from .queries_ext163 import build_oracles_ext163
+    from .queries_ext164 import build_oracles_ext164
 
     return {
         **build_oracles_ext(),
@@ -4731,6 +4734,7 @@ def build_oracles() -> dict:
         **build_oracles_ext161(),
         **build_oracles_ext162(),
         **build_oracles_ext163(),
+        **build_oracles_ext164(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

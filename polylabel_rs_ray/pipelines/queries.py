@@ -4173,6 +4173,7 @@ def build_queries() -> dict:
     from .queries_ext162 import build_queries_ext162
     from .queries_ext163 import build_queries_ext163
     from .queries_ext164 import build_queries_ext164
+    from .queries_ext165 import build_queries_ext165
 
     return {
         **build_queries_ext(),
@@ -4339,6 +4340,7 @@ def build_queries() -> dict:
         **build_queries_ext162(),
         **build_queries_ext163(),
         **build_queries_ext164(),
+        **build_queries_ext165(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4569,6 +4571,7 @@ def build_oracles() -> dict:
     from .queries_ext162 import build_oracles_ext162
     from .queries_ext163 import build_oracles_ext163
     from .queries_ext164 import build_oracles_ext164
+    from .queries_ext165 import build_oracles_ext165
 
     return {
         **build_oracles_ext(),
@@ -4735,6 +4738,7 @@ def build_oracles() -> dict:
         **build_oracles_ext162(),
         **build_oracles_ext163(),
         **build_oracles_ext164(),
+        **build_oracles_ext165(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4174,6 +4174,7 @@ def build_queries() -> dict:
     from .queries_ext163 import build_queries_ext163
     from .queries_ext164 import build_queries_ext164
     from .queries_ext165 import build_queries_ext165
+    from .queries_ext166 import build_queries_ext166
 
     return {
         **build_queries_ext(),
@@ -4341,6 +4342,7 @@ def build_queries() -> dict:
         **build_queries_ext163(),
         **build_queries_ext164(),
         **build_queries_ext165(),
+        **build_queries_ext166(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4572,6 +4574,7 @@ def build_oracles() -> dict:
     from .queries_ext163 import build_oracles_ext163
     from .queries_ext164 import build_oracles_ext164
     from .queries_ext165 import build_oracles_ext165
+    from .queries_ext166 import build_oracles_ext166
 
     return {
         **build_oracles_ext(),
@@ -4739,6 +4742,7 @@ def build_oracles() -> dict:
         **build_oracles_ext163(),
         **build_oracles_ext164(),
         **build_oracles_ext165(),
+        **build_oracles_ext166(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

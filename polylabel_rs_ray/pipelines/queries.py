@@ -4175,6 +4175,7 @@ def build_queries() -> dict:
     from .queries_ext164 import build_queries_ext164
     from .queries_ext165 import build_queries_ext165
     from .queries_ext166 import build_queries_ext166
+    from .queries_ext167 import build_queries_ext167
 
     return {
         **build_queries_ext(),
@@ -4343,6 +4344,7 @@ def build_queries() -> dict:
         **build_queries_ext164(),
         **build_queries_ext165(),
         **build_queries_ext166(),
+        **build_queries_ext167(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4575,6 +4577,7 @@ def build_oracles() -> dict:
     from .queries_ext164 import build_oracles_ext164
     from .queries_ext165 import build_oracles_ext165
     from .queries_ext166 import build_oracles_ext166
+    from .queries_ext167 import build_oracles_ext167
 
     return {
         **build_oracles_ext(),
@@ -4743,6 +4746,7 @@ def build_oracles() -> dict:
         **build_oracles_ext164(),
         **build_oracles_ext165(),
         **build_oracles_ext166(),
+        **build_oracles_ext167(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

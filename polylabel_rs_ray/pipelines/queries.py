@@ -4176,6 +4176,7 @@ def build_queries() -> dict:
     from .queries_ext165 import build_queries_ext165
     from .queries_ext166 import build_queries_ext166
     from .queries_ext167 import build_queries_ext167
+    from .queries_ext168 import build_queries_ext168
 
     return {
         **build_queries_ext(),
@@ -4345,6 +4346,7 @@ def build_queries() -> dict:
         **build_queries_ext165(),
         **build_queries_ext166(),
         **build_queries_ext167(),
+        **build_queries_ext168(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4578,6 +4580,7 @@ def build_oracles() -> dict:
     from .queries_ext165 import build_oracles_ext165
     from .queries_ext166 import build_oracles_ext166
     from .queries_ext167 import build_oracles_ext167
+    from .queries_ext168 import build_oracles_ext168
 
     return {
         **build_oracles_ext(),
@@ -4747,6 +4750,7 @@ def build_oracles() -> dict:
         **build_oracles_ext165(),
         **build_oracles_ext166(),
         **build_oracles_ext167(),
+        **build_oracles_ext168(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4177,6 +4177,7 @@ def build_queries() -> dict:
     from .queries_ext166 import build_queries_ext166
     from .queries_ext167 import build_queries_ext167
     from .queries_ext168 import build_queries_ext168
+    from .queries_ext169 import build_queries_ext169
 
     return {
         **build_queries_ext(),
@@ -4347,6 +4348,7 @@ def build_queries() -> dict:
         **build_queries_ext166(),
         **build_queries_ext167(),
         **build_queries_ext168(),
+        **build_queries_ext169(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4581,6 +4583,7 @@ def build_oracles() -> dict:
     from .queries_ext166 import build_oracles_ext166
     from .queries_ext167 import build_oracles_ext167
     from .queries_ext168 import build_oracles_ext168
+    from .queries_ext169 import build_oracles_ext169
 
     return {
         **build_oracles_ext(),
@@ -4751,6 +4754,7 @@ def build_oracles() -> dict:
         **build_oracles_ext166(),
         **build_oracles_ext167(),
         **build_oracles_ext168(),
+        **build_oracles_ext169(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

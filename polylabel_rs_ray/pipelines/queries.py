@@ -4178,6 +4178,7 @@ def build_queries() -> dict:
     from .queries_ext167 import build_queries_ext167
     from .queries_ext168 import build_queries_ext168
     from .queries_ext169 import build_queries_ext169
+    from .queries_ext170 import build_queries_ext170
 
     return {
         **build_queries_ext(),
@@ -4349,6 +4350,7 @@ def build_queries() -> dict:
         **build_queries_ext167(),
         **build_queries_ext168(),
         **build_queries_ext169(),
+        **build_queries_ext170(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4584,6 +4586,7 @@ def build_oracles() -> dict:
     from .queries_ext167 import build_oracles_ext167
     from .queries_ext168 import build_oracles_ext168
     from .queries_ext169 import build_oracles_ext169
+    from .queries_ext170 import build_oracles_ext170
 
     return {
         **build_oracles_ext(),
@@ -4755,6 +4758,7 @@ def build_oracles() -> dict:
         **build_oracles_ext167(),
         **build_oracles_ext168(),
         **build_oracles_ext169(),
+        **build_oracles_ext170(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4179,6 +4179,7 @@ def build_queries() -> dict:
     from .queries_ext168 import build_queries_ext168
     from .queries_ext169 import build_queries_ext169
     from .queries_ext170 import build_queries_ext170
+    from .queries_ext171 import build_queries_ext171
 
     return {
         **build_queries_ext(),
@@ -4351,6 +4352,7 @@ def build_queries() -> dict:
         **build_queries_ext168(),
         **build_queries_ext169(),
         **build_queries_ext170(),
+        **build_queries_ext171(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4587,6 +4589,7 @@ def build_oracles() -> dict:
     from .queries_ext168 import build_oracles_ext168
     from .queries_ext169 import build_oracles_ext169
     from .queries_ext170 import build_oracles_ext170
+    from .queries_ext171 import build_oracles_ext171
 
     return {
         **build_oracles_ext(),
@@ -4759,6 +4762,7 @@ def build_oracles() -> dict:
         **build_oracles_ext168(),
         **build_oracles_ext169(),
         **build_oracles_ext170(),
+        **build_oracles_ext171(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4180,6 +4180,7 @@ def build_queries() -> dict:
     from .queries_ext169 import build_queries_ext169
     from .queries_ext170 import build_queries_ext170
     from .queries_ext171 import build_queries_ext171
+    from .queries_ext172 import build_queries_ext172
 
     return {
         **build_queries_ext(),
@@ -4353,6 +4354,7 @@ def build_queries() -> dict:
         **build_queries_ext169(),
         **build_queries_ext170(),
         **build_queries_ext171(),
+        **build_queries_ext172(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4590,6 +4592,7 @@ def build_oracles() -> dict:
     from .queries_ext169 import build_oracles_ext169
     from .queries_ext170 import build_oracles_ext170
     from .queries_ext171 import build_oracles_ext171
+    from .queries_ext172 import build_oracles_ext172
 
     return {
         **build_oracles_ext(),
@@ -4763,6 +4766,7 @@ def build_oracles() -> dict:
         **build_oracles_ext169(),
         **build_oracles_ext170(),
         **build_oracles_ext171(),
+        **build_oracles_ext172(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4181,6 +4181,7 @@ def build_queries() -> dict:
     from .queries_ext170 import build_queries_ext170
     from .queries_ext171 import build_queries_ext171
     from .queries_ext172 import build_queries_ext172
+    from .queries_ext173 import build_queries_ext173
 
     return {
         **build_queries_ext(),
@@ -4355,6 +4356,7 @@ def build_queries() -> dict:
         **build_queries_ext170(),
         **build_queries_ext171(),
         **build_queries_ext172(),
+        **build_queries_ext173(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4593,6 +4595,7 @@ def build_oracles() -> dict:
     from .queries_ext170 import build_oracles_ext170
     from .queries_ext171 import build_oracles_ext171
     from .queries_ext172 import build_oracles_ext172
+    from .queries_ext173 import build_oracles_ext173
 
     return {
         **build_oracles_ext(),
@@ -4767,6 +4770,7 @@ def build_oracles() -> dict:
         **build_oracles_ext170(),
         **build_oracles_ext171(),
         **build_oracles_ext172(),
+        **build_oracles_ext173(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

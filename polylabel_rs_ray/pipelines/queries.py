@@ -4182,6 +4182,7 @@ def build_queries() -> dict:
     from .queries_ext171 import build_queries_ext171
     from .queries_ext172 import build_queries_ext172
     from .queries_ext173 import build_queries_ext173
+    from .queries_ext174 import build_queries_ext174
 
     return {
         **build_queries_ext(),
@@ -4357,6 +4358,7 @@ def build_queries() -> dict:
         **build_queries_ext171(),
         **build_queries_ext172(),
         **build_queries_ext173(),
+        **build_queries_ext174(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4596,6 +4598,7 @@ def build_oracles() -> dict:
     from .queries_ext171 import build_oracles_ext171
     from .queries_ext172 import build_oracles_ext172
     from .queries_ext173 import build_oracles_ext173
+    from .queries_ext174 import build_oracles_ext174
 
     return {
         **build_oracles_ext(),
@@ -4771,6 +4774,7 @@ def build_oracles() -> dict:
         **build_oracles_ext171(),
         **build_oracles_ext172(),
         **build_oracles_ext173(),
+        **build_oracles_ext174(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4183,6 +4183,7 @@ def build_queries() -> dict:
     from .queries_ext172 import build_queries_ext172
     from .queries_ext173 import build_queries_ext173
     from .queries_ext174 import build_queries_ext174
+    from .queries_ext175 import build_queries_ext175
 
     return {
         **build_queries_ext(),
@@ -4359,6 +4360,7 @@ def build_queries() -> dict:
         **build_queries_ext172(),
         **build_queries_ext173(),
         **build_queries_ext174(),
+        **build_queries_ext175(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4599,6 +4601,7 @@ def build_oracles() -> dict:
     from .queries_ext172 import build_oracles_ext172
     from .queries_ext173 import build_oracles_ext173
     from .queries_ext174 import build_oracles_ext174
+    from .queries_ext175 import build_oracles_ext175
 
     return {
         **build_oracles_ext(),
@@ -4775,6 +4778,7 @@ def build_oracles() -> dict:
         **build_oracles_ext172(),
         **build_oracles_ext173(),
         **build_oracles_ext174(),
+        **build_oracles_ext175(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

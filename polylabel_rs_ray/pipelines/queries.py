@@ -4184,6 +4184,7 @@ def build_queries() -> dict:
     from .queries_ext173 import build_queries_ext173
     from .queries_ext174 import build_queries_ext174
     from .queries_ext175 import build_queries_ext175
+    from .queries_ext176 import build_queries_ext176
 
     return {
         **build_queries_ext(),
@@ -4361,6 +4362,7 @@ def build_queries() -> dict:
         **build_queries_ext173(),
         **build_queries_ext174(),
         **build_queries_ext175(),
+        **build_queries_ext176(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4602,6 +4604,7 @@ def build_oracles() -> dict:
     from .queries_ext173 import build_oracles_ext173
     from .queries_ext174 import build_oracles_ext174
     from .queries_ext175 import build_oracles_ext175
+    from .queries_ext176 import build_oracles_ext176
 
     return {
         **build_oracles_ext(),
@@ -4779,6 +4782,7 @@ def build_oracles() -> dict:
         **build_oracles_ext173(),
         **build_oracles_ext174(),
         **build_oracles_ext175(),
+        **build_oracles_ext176(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4185,6 +4185,7 @@ def build_queries() -> dict:
     from .queries_ext174 import build_queries_ext174
     from .queries_ext175 import build_queries_ext175
     from .queries_ext176 import build_queries_ext176
+    from .queries_ext177 import build_queries_ext177
 
     return {
         **build_queries_ext(),
@@ -4363,6 +4364,7 @@ def build_queries() -> dict:
         **build_queries_ext174(),
         **build_queries_ext175(),
         **build_queries_ext176(),
+        **build_queries_ext177(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4605,6 +4607,7 @@ def build_oracles() -> dict:
     from .queries_ext174 import build_oracles_ext174
     from .queries_ext175 import build_oracles_ext175
     from .queries_ext176 import build_oracles_ext176
+    from .queries_ext177 import build_oracles_ext177
 
     return {
         **build_oracles_ext(),
@@ -4783,6 +4786,7 @@ def build_oracles() -> dict:
         **build_oracles_ext174(),
         **build_oracles_ext175(),
         **build_oracles_ext176(),
+        **build_oracles_ext177(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4186,6 +4186,7 @@ def build_queries() -> dict:
     from .queries_ext175 import build_queries_ext175
     from .queries_ext176 import build_queries_ext176
     from .queries_ext177 import build_queries_ext177
+    from .queries_ext178 import build_queries_ext178
 
     return {
         **build_queries_ext(),
@@ -4365,6 +4366,7 @@ def build_queries() -> dict:
         **build_queries_ext175(),
         **build_queries_ext176(),
         **build_queries_ext177(),
+        **build_queries_ext178(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4608,6 +4610,7 @@ def build_oracles() -> dict:
     from .queries_ext175 import build_oracles_ext175
     from .queries_ext176 import build_oracles_ext176
     from .queries_ext177 import build_oracles_ext177
+    from .queries_ext178 import build_oracles_ext178
 
     return {
         **build_oracles_ext(),
@@ -4787,6 +4790,7 @@ def build_oracles() -> dict:
         **build_oracles_ext175(),
         **build_oracles_ext176(),
         **build_oracles_ext177(),
+        **build_oracles_ext178(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4187,6 +4187,7 @@ def build_queries() -> dict:
     from .queries_ext176 import build_queries_ext176
     from .queries_ext177 import build_queries_ext177
     from .queries_ext178 import build_queries_ext178
+    from .queries_ext179 import build_queries_ext179
 
     return {
         **build_queries_ext(),
@@ -4367,6 +4368,7 @@ def build_queries() -> dict:
         **build_queries_ext176(),
         **build_queries_ext177(),
         **build_queries_ext178(),
+        **build_queries_ext179(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4611,6 +4613,7 @@ def build_oracles() -> dict:
     from .queries_ext176 import build_oracles_ext176
     from .queries_ext177 import build_oracles_ext177
     from .queries_ext178 import build_oracles_ext178
+    from .queries_ext179 import build_oracles_ext179
 
     return {
         **build_oracles_ext(),
@@ -4791,6 +4794,7 @@ def build_oracles() -> dict:
         **build_oracles_ext176(),
         **build_oracles_ext177(),
         **build_oracles_ext178(),
+        **build_oracles_ext179(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4188,6 +4188,7 @@ def build_queries() -> dict:
     from .queries_ext177 import build_queries_ext177
     from .queries_ext178 import build_queries_ext178
     from .queries_ext179 import build_queries_ext179
+    from .queries_ext180 import build_queries_ext180
 
     return {
         **build_queries_ext(),
@@ -4369,6 +4370,7 @@ def build_queries() -> dict:
         **build_queries_ext177(),
         **build_queries_ext178(),
         **build_queries_ext179(),
+        **build_queries_ext180(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4614,6 +4616,7 @@ def build_oracles() -> dict:
     from .queries_ext177 import build_oracles_ext177
     from .queries_ext178 import build_oracles_ext178
     from .queries_ext179 import build_oracles_ext179
+    from .queries_ext180 import build_oracles_ext180
 
     return {
         **build_oracles_ext(),
@@ -4795,6 +4798,7 @@ def build_oracles() -> dict:
         **build_oracles_ext177(),
         **build_oracles_ext178(),
         **build_oracles_ext179(),
+        **build_oracles_ext180(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

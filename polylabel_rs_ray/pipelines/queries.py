@@ -4189,6 +4189,7 @@ def build_queries() -> dict:
     from .queries_ext178 import build_queries_ext178
     from .queries_ext179 import build_queries_ext179
     from .queries_ext180 import build_queries_ext180
+    from .queries_ext181 import build_queries_ext181
 
     return {
         **build_queries_ext(),
@@ -4371,6 +4372,7 @@ def build_queries() -> dict:
         **build_queries_ext178(),
         **build_queries_ext179(),
         **build_queries_ext180(),
+        **build_queries_ext181(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4617,6 +4619,7 @@ def build_oracles() -> dict:
     from .queries_ext178 import build_oracles_ext178
     from .queries_ext179 import build_oracles_ext179
     from .queries_ext180 import build_oracles_ext180
+    from .queries_ext181 import build_oracles_ext181
 
     return {
         **build_oracles_ext(),
@@ -4799,6 +4802,7 @@ def build_oracles() -> dict:
         **build_oracles_ext178(),
         **build_oracles_ext179(),
         **build_oracles_ext180(),
+        **build_oracles_ext181(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

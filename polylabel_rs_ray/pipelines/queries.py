@@ -4190,6 +4190,7 @@ def build_queries() -> dict:
     from .queries_ext179 import build_queries_ext179
     from .queries_ext180 import build_queries_ext180
     from .queries_ext181 import build_queries_ext181
+    from .queries_ext182 import build_queries_ext182
 
     return {
         **build_queries_ext(),
@@ -4373,6 +4374,7 @@ def build_queries() -> dict:
         **build_queries_ext179(),
         **build_queries_ext180(),
         **build_queries_ext181(),
+        **build_queries_ext182(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4620,6 +4622,7 @@ def build_oracles() -> dict:
     from .queries_ext179 import build_oracles_ext179
     from .queries_ext180 import build_oracles_ext180
     from .queries_ext181 import build_oracles_ext181
+    from .queries_ext182 import build_oracles_ext182
 
     return {
         **build_oracles_ext(),
@@ -4803,6 +4806,7 @@ def build_oracles() -> dict:
         **build_oracles_ext179(),
         **build_oracles_ext180(),
         **build_oracles_ext181(),
+        **build_oracles_ext182(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

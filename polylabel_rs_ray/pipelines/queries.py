@@ -4191,6 +4191,7 @@ def build_queries() -> dict:
     from .queries_ext180 import build_queries_ext180
     from .queries_ext181 import build_queries_ext181
     from .queries_ext182 import build_queries_ext182
+    from .queries_ext183 import build_queries_ext183
 
     return {
         **build_queries_ext(),
@@ -4375,6 +4376,7 @@ def build_queries() -> dict:
         **build_queries_ext180(),
         **build_queries_ext181(),
         **build_queries_ext182(),
+        **build_queries_ext183(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4623,6 +4625,7 @@ def build_oracles() -> dict:
     from .queries_ext180 import build_oracles_ext180
     from .queries_ext181 import build_oracles_ext181
     from .queries_ext182 import build_oracles_ext182
+    from .queries_ext183 import build_oracles_ext183
 
     return {
         **build_oracles_ext(),
@@ -4807,6 +4810,7 @@ def build_oracles() -> dict:
         **build_oracles_ext180(),
         **build_oracles_ext181(),
         **build_oracles_ext182(),
+        **build_oracles_ext183(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4192,6 +4192,7 @@ def build_queries() -> dict:
     from .queries_ext181 import build_queries_ext181
     from .queries_ext182 import build_queries_ext182
     from .queries_ext183 import build_queries_ext183
+    from .queries_ext184 import build_queries_ext184
 
     return {
         **build_queries_ext(),
@@ -4377,6 +4378,7 @@ def build_queries() -> dict:
         **build_queries_ext181(),
         **build_queries_ext182(),
         **build_queries_ext183(),
+        **build_queries_ext184(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4626,6 +4628,7 @@ def build_oracles() -> dict:
     from .queries_ext181 import build_oracles_ext181
     from .queries_ext182 import build_oracles_ext182
     from .queries_ext183 import build_oracles_ext183
+    from .queries_ext184 import build_oracles_ext184
 
     return {
         **build_oracles_ext(),
@@ -4811,6 +4814,7 @@ def build_oracles() -> dict:
         **build_oracles_ext181(),
         **build_oracles_ext182(),
         **build_oracles_ext183(),
+        **build_oracles_ext184(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

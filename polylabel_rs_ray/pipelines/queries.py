@@ -4193,6 +4193,7 @@ def build_queries() -> dict:
     from .queries_ext182 import build_queries_ext182
     from .queries_ext183 import build_queries_ext183
     from .queries_ext184 import build_queries_ext184
+    from .queries_ext185 import build_queries_ext185
 
     return {
         **build_queries_ext(),
@@ -4379,6 +4380,7 @@ def build_queries() -> dict:
         **build_queries_ext182(),
         **build_queries_ext183(),
         **build_queries_ext184(),
+        **build_queries_ext185(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4629,6 +4631,7 @@ def build_oracles() -> dict:
     from .queries_ext182 import build_oracles_ext182
     from .queries_ext183 import build_oracles_ext183
     from .queries_ext184 import build_oracles_ext184
+    from .queries_ext185 import build_oracles_ext185
 
     return {
         **build_oracles_ext(),
@@ -4815,6 +4818,7 @@ def build_oracles() -> dict:
         **build_oracles_ext182(),
         **build_oracles_ext183(),
         **build_oracles_ext184(),
+        **build_oracles_ext185(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4194,6 +4194,7 @@ def build_queries() -> dict:
     from .queries_ext183 import build_queries_ext183
     from .queries_ext184 import build_queries_ext184
     from .queries_ext185 import build_queries_ext185
+    from .queries_ext186 import build_queries_ext186
 
     return {
         **build_queries_ext(),
@@ -4381,6 +4382,7 @@ def build_queries() -> dict:
         **build_queries_ext183(),
         **build_queries_ext184(),
         **build_queries_ext185(),
+        **build_queries_ext186(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4632,6 +4634,7 @@ def build_oracles() -> dict:
     from .queries_ext183 import build_oracles_ext183
     from .queries_ext184 import build_oracles_ext184
     from .queries_ext185 import build_oracles_ext185
+    from .queries_ext186 import build_oracles_ext186
 
     return {
         **build_oracles_ext(),
@@ -4819,6 +4822,7 @@ def build_oracles() -> dict:
         **build_oracles_ext183(),
         **build_oracles_ext184(),
         **build_oracles_ext185(),
+        **build_oracles_ext186(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

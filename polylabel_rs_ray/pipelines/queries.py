@@ -4195,6 +4195,7 @@ def build_queries() -> dict:
     from .queries_ext184 import build_queries_ext184
     from .queries_ext185 import build_queries_ext185
     from .queries_ext186 import build_queries_ext186
+    from .queries_ext187 import build_queries_ext187
 
     return {
         **build_queries_ext(),
@@ -4383,6 +4384,7 @@ def build_queries() -> dict:
         **build_queries_ext184(),
         **build_queries_ext185(),
         **build_queries_ext186(),
+        **build_queries_ext187(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4635,6 +4637,7 @@ def build_oracles() -> dict:
     from .queries_ext184 import build_oracles_ext184
     from .queries_ext185 import build_oracles_ext185
     from .queries_ext186 import build_oracles_ext186
+    from .queries_ext187 import build_oracles_ext187
 
     return {
         **build_oracles_ext(),
@@ -4823,6 +4826,7 @@ def build_oracles() -> dict:
         **build_oracles_ext184(),
         **build_oracles_ext185(),
         **build_oracles_ext186(),
+        **build_oracles_ext187(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4196,6 +4196,7 @@ def build_queries() -> dict:
     from .queries_ext185 import build_queries_ext185
     from .queries_ext186 import build_queries_ext186
     from .queries_ext187 import build_queries_ext187
+    from .queries_ext188 import build_queries_ext188
 
     return {
         **build_queries_ext(),
@@ -4385,6 +4386,7 @@ def build_queries() -> dict:
         **build_queries_ext185(),
         **build_queries_ext186(),
         **build_queries_ext187(),
+        **build_queries_ext188(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4638,6 +4640,7 @@ def build_oracles() -> dict:
     from .queries_ext185 import build_oracles_ext185
     from .queries_ext186 import build_oracles_ext186
     from .queries_ext187 import build_oracles_ext187
+    from .queries_ext188 import build_oracles_ext188
 
     return {
         **build_oracles_ext(),
@@ -4827,6 +4830,7 @@ def build_oracles() -> dict:
         **build_oracles_ext185(),
         **build_oracles_ext186(),
         **build_oracles_ext187(),
+        **build_oracles_ext188(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4197,6 +4197,7 @@ def build_queries() -> dict:
     from .queries_ext186 import build_queries_ext186
     from .queries_ext187 import build_queries_ext187
     from .queries_ext188 import build_queries_ext188
+    from .queries_ext189 import build_queries_ext189
 
     return {
         **build_queries_ext(),
@@ -4387,6 +4388,7 @@ def build_queries() -> dict:
         **build_queries_ext186(),
         **build_queries_ext187(),
         **build_queries_ext188(),
+        **build_queries_ext189(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4641,6 +4643,7 @@ def build_oracles() -> dict:
     from .queries_ext186 import build_oracles_ext186
     from .queries_ext187 import build_oracles_ext187
     from .queries_ext188 import build_oracles_ext188
+    from .queries_ext189 import build_oracles_ext189
 
     return {
         **build_oracles_ext(),
@@ -4831,6 +4834,7 @@ def build_oracles() -> dict:
         **build_oracles_ext186(),
         **build_oracles_ext187(),
         **build_oracles_ext188(),
+        **build_oracles_ext189(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

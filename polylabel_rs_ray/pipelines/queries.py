@@ -4198,6 +4198,7 @@ def build_queries() -> dict:
     from .queries_ext187 import build_queries_ext187
     from .queries_ext188 import build_queries_ext188
     from .queries_ext189 import build_queries_ext189
+    from .queries_ext190 import build_queries_ext190
 
     return {
         **build_queries_ext(),
@@ -4389,6 +4390,7 @@ def build_queries() -> dict:
         **build_queries_ext187(),
         **build_queries_ext188(),
         **build_queries_ext189(),
+        **build_queries_ext190(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4644,6 +4646,7 @@ def build_oracles() -> dict:
     from .queries_ext187 import build_oracles_ext187
     from .queries_ext188 import build_oracles_ext188
     from .queries_ext189 import build_oracles_ext189
+    from .queries_ext190 import build_oracles_ext190
 
     return {
         **build_oracles_ext(),
@@ -4835,6 +4838,7 @@ def build_oracles() -> dict:
         **build_oracles_ext187(),
         **build_oracles_ext188(),
         **build_oracles_ext189(),
+        **build_oracles_ext190(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4199,6 +4199,7 @@ def build_queries() -> dict:
     from .queries_ext188 import build_queries_ext188
     from .queries_ext189 import build_queries_ext189
     from .queries_ext190 import build_queries_ext190
+    from .queries_ext191 import build_queries_ext191
 
     return {
         **build_queries_ext(),
@@ -4391,6 +4392,7 @@ def build_queries() -> dict:
         **build_queries_ext188(),
         **build_queries_ext189(),
         **build_queries_ext190(),
+        **build_queries_ext191(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4647,6 +4649,7 @@ def build_oracles() -> dict:
     from .queries_ext188 import build_oracles_ext188
     from .queries_ext189 import build_oracles_ext189
     from .queries_ext190 import build_oracles_ext190
+    from .queries_ext191 import build_oracles_ext191
 
     return {
         **build_oracles_ext(),
@@ -4839,6 +4842,7 @@ def build_oracles() -> dict:
         **build_oracles_ext188(),
         **build_oracles_ext189(),
         **build_oracles_ext190(),
+        **build_oracles_ext191(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

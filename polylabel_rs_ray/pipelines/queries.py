@@ -4200,6 +4200,7 @@ def build_queries() -> dict:
     from .queries_ext189 import build_queries_ext189
     from .queries_ext190 import build_queries_ext190
     from .queries_ext191 import build_queries_ext191
+    from .queries_ext192 import build_queries_ext192
 
     return {
         **build_queries_ext(),
@@ -4393,6 +4394,7 @@ def build_queries() -> dict:
         **build_queries_ext189(),
         **build_queries_ext190(),
         **build_queries_ext191(),
+        **build_queries_ext192(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4650,6 +4652,7 @@ def build_oracles() -> dict:
     from .queries_ext189 import build_oracles_ext189
     from .queries_ext190 import build_oracles_ext190
     from .queries_ext191 import build_oracles_ext191
+    from .queries_ext192 import build_oracles_ext192
 
     return {
         **build_oracles_ext(),
@@ -4843,6 +4846,7 @@ def build_oracles() -> dict:
         **build_oracles_ext189(),
         **build_oracles_ext190(),
         **build_oracles_ext191(),
+        **build_oracles_ext192(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

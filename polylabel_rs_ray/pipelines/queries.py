@@ -4201,6 +4201,7 @@ def build_queries() -> dict:
     from .queries_ext190 import build_queries_ext190
     from .queries_ext191 import build_queries_ext191
     from .queries_ext192 import build_queries_ext192
+    from .queries_ext193 import build_queries_ext193
 
     return {
         **build_queries_ext(),
@@ -4395,6 +4396,7 @@ def build_queries() -> dict:
         **build_queries_ext190(),
         **build_queries_ext191(),
         **build_queries_ext192(),
+        **build_queries_ext193(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4653,6 +4655,7 @@ def build_oracles() -> dict:
     from .queries_ext190 import build_oracles_ext190
     from .queries_ext191 import build_oracles_ext191
     from .queries_ext192 import build_oracles_ext192
+    from .queries_ext193 import build_oracles_ext193
 
     return {
         **build_oracles_ext(),
@@ -4847,6 +4850,7 @@ def build_oracles() -> dict:
         **build_oracles_ext190(),
         **build_oracles_ext191(),
         **build_oracles_ext192(),
+        **build_oracles_ext193(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

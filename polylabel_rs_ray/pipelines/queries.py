@@ -4202,6 +4202,7 @@ def build_queries() -> dict:
     from .queries_ext191 import build_queries_ext191
     from .queries_ext192 import build_queries_ext192
     from .queries_ext193 import build_queries_ext193
+    from .queries_ext194 import build_queries_ext194
 
     return {
         **build_queries_ext(),
@@ -4397,6 +4398,7 @@ def build_queries() -> dict:
         **build_queries_ext191(),
         **build_queries_ext192(),
         **build_queries_ext193(),
+        **build_queries_ext194(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4656,6 +4658,7 @@ def build_oracles() -> dict:
     from .queries_ext191 import build_oracles_ext191
     from .queries_ext192 import build_oracles_ext192
     from .queries_ext193 import build_oracles_ext193
+    from .queries_ext194 import build_oracles_ext194
 
     return {
         **build_oracles_ext(),
@@ -4851,6 +4854,7 @@ def build_oracles() -> dict:
         **build_oracles_ext191(),
         **build_oracles_ext192(),
         **build_oracles_ext193(),
+        **build_oracles_ext194(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

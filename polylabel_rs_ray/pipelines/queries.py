@@ -4203,6 +4203,7 @@ def build_queries() -> dict:
     from .queries_ext192 import build_queries_ext192
     from .queries_ext193 import build_queries_ext193
     from .queries_ext194 import build_queries_ext194
+    from .queries_ext195 import build_queries_ext195
 
     return {
         **build_queries_ext(),
@@ -4399,6 +4400,7 @@ def build_queries() -> dict:
         **build_queries_ext192(),
         **build_queries_ext193(),
         **build_queries_ext194(),
+        **build_queries_ext195(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4659,6 +4661,7 @@ def build_oracles() -> dict:
     from .queries_ext192 import build_oracles_ext192
     from .queries_ext193 import build_oracles_ext193
     from .queries_ext194 import build_oracles_ext194
+    from .queries_ext195 import build_oracles_ext195
 
     return {
         **build_oracles_ext(),
@@ -4855,6 +4858,7 @@ def build_oracles() -> dict:
         **build_oracles_ext192(),
         **build_oracles_ext193(),
         **build_oracles_ext194(),
+        **build_oracles_ext195(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4204,6 +4204,7 @@ def build_queries() -> dict:
     from .queries_ext193 import build_queries_ext193
     from .queries_ext194 import build_queries_ext194
     from .queries_ext195 import build_queries_ext195
+    from .queries_ext196 import build_queries_ext196
 
     return {
         **build_queries_ext(),
@@ -4401,6 +4402,7 @@ def build_queries() -> dict:
         **build_queries_ext193(),
         **build_queries_ext194(),
         **build_queries_ext195(),
+        **build_queries_ext196(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4662,6 +4664,7 @@ def build_oracles() -> dict:
     from .queries_ext193 import build_oracles_ext193
     from .queries_ext194 import build_oracles_ext194
     from .queries_ext195 import build_oracles_ext195
+    from .queries_ext196 import build_oracles_ext196
 
     return {
         **build_oracles_ext(),
@@ -4859,6 +4862,7 @@ def build_oracles() -> dict:
         **build_oracles_ext193(),
         **build_oracles_ext194(),
         **build_oracles_ext195(),
+        **build_oracles_ext196(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

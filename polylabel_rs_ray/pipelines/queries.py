@@ -4205,6 +4205,7 @@ def build_queries() -> dict:
     from .queries_ext194 import build_queries_ext194
     from .queries_ext195 import build_queries_ext195
     from .queries_ext196 import build_queries_ext196
+    from .queries_ext197 import build_queries_ext197
 
     return {
         **build_queries_ext(),
@@ -4403,6 +4404,7 @@ def build_queries() -> dict:
         **build_queries_ext194(),
         **build_queries_ext195(),
         **build_queries_ext196(),
+        **build_queries_ext197(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4665,6 +4667,7 @@ def build_oracles() -> dict:
     from .queries_ext194 import build_oracles_ext194
     from .queries_ext195 import build_oracles_ext195
     from .queries_ext196 import build_oracles_ext196
+    from .queries_ext197 import build_oracles_ext197
 
     return {
         **build_oracles_ext(),
@@ -4863,6 +4866,7 @@ def build_oracles() -> dict:
         **build_oracles_ext194(),
         **build_oracles_ext195(),
         **build_oracles_ext196(),
+        **build_oracles_ext197(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4206,6 +4206,7 @@ def build_queries() -> dict:
     from .queries_ext195 import build_queries_ext195
     from .queries_ext196 import build_queries_ext196
     from .queries_ext197 import build_queries_ext197
+    from .queries_ext198 import build_queries_ext198
 
     return {
         **build_queries_ext(),
@@ -4405,6 +4406,7 @@ def build_queries() -> dict:
         **build_queries_ext195(),
         **build_queries_ext196(),
         **build_queries_ext197(),
+        **build_queries_ext198(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4668,6 +4670,7 @@ def build_oracles() -> dict:
     from .queries_ext195 import build_oracles_ext195
     from .queries_ext196 import build_oracles_ext196
     from .queries_ext197 import build_oracles_ext197
+    from .queries_ext198 import build_oracles_ext198
 
     return {
         **build_oracles_ext(),
@@ -4867,6 +4870,7 @@ def build_oracles() -> dict:
         **build_oracles_ext195(),
         **build_oracles_ext196(),
         **build_oracles_ext197(),
+        **build_oracles_ext198(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -4207,6 +4207,7 @@ def build_queries() -> dict:
     from .queries_ext196 import build_queries_ext196
     from .queries_ext197 import build_queries_ext197
     from .queries_ext198 import build_queries_ext198
+    from .queries_ext199 import build_queries_ext199
 
     return {
         **build_queries_ext(),
@@ -4407,6 +4408,7 @@ def build_queries() -> dict:
         **build_queries_ext196(),
         **build_queries_ext197(),
         **build_queries_ext198(),
+        **build_queries_ext199(),
         "label_dyadic": q_label_dyadic,
         "bbox_query": q_bbox_query,
         "label_summary": q_label_summary,
@@ -4671,6 +4673,7 @@ def build_oracles() -> dict:
     from .queries_ext196 import build_oracles_ext196
     from .queries_ext197 import build_oracles_ext197
     from .queries_ext198 import build_oracles_ext198
+    from .queries_ext199 import build_oracles_ext199
 
     return {
         **build_oracles_ext(),
@@ -4871,6 +4874,7 @@ def build_oracles() -> dict:
         **build_oracles_ext196(),
         **build_oracles_ext197(),
         **build_oracles_ext198(),
+        **build_oracles_ext199(),
         "label_dyadic": _sql_label_dyadic(),
         "bbox_query": _sql_bbox_query(),
         "label_summary": SQL_LABEL_SUMMARY,

@@ -1751,6 +1751,47 @@ def q_minhash_near_dup(
         .map_groups(_bucket_candidate_pairs, batch_format="pyarrow")
     )
 
+    return verify_candidate_pairs(
+        cands, ds, sf_dir, threshold, P,
+        verify_mode=verify_mode, use_bloom=use_bloom,
+    )
+
+
+def verify_candidate_pairs(
+    cands,
+    ds,
+    sf_dir: str,
+    threshold: float,
+    P: int,
+    verify_mode: str | None = None,
+    use_bloom: bool | None = None,
+    pre_deduped: bool = False,
+):
+    """Corpus-size-gated exact-Jaccard verification of candidate pairs —
+    the ONE verify stage shared by every similarity self-join whose
+    candidate generator emits (doc_a, doc_b) rows (``minhash_near_dup``'s
+    banded LSH and ``jaccard_join_exact``'s PPJoin prefix filter).
+
+    * ``verify_mode="broadcast"`` (auto when the corpus is <=
+      MINHASH_BROADCAST_MAX_DOCS): the (doc_id -> text) map ships to the
+      object store ONCE (``ray.put``); pairs verify in stateless tasks.
+    * ``verify_mode="partitioned"`` (auto above the gate): two-pass
+      co-partitioned text join — no stage ever holds the whole corpus.
+    * ``use_bloom`` (auto past ~5M docs, partitioned mode only): bloom
+      semi-join prefilter so only pair-relevant docs cross the shuffles.
+
+    ``pre_deduped=True`` skips the broadcast path's global pair dedup when
+    the caller already deduplicated (PPJoin's high-cardinality exchange);
+    the partitioned path's pass-B dedup is a free no-op on unique pairs.
+
+    ``ds`` must be the SAME corpus dataset the candidates were generated
+    from (doc_id, text) — both paths recompute exact shingle sets from it,
+    so an LSH/hash collision upstream can only add candidates, never flip
+    a verified pair."""
+    from ..functions.dedup import jaccard_pct_exact, shingle_strs
+    from ..stages.util import coalesce_for_shuffle
+
+    ray = _ray()
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
@@ -1773,11 +1814,12 @@ def q_minhash_near_dup(
         # partitioned mode gets this for free from pass B; here one tiny
         # groupby over the 16-byte pair rows does it before any Jaccard
         # work is spent.
-        from ..stages.agg import grouped_aggregate
+        if not pre_deduped:
+            from ..stages.agg import grouped_aggregate
 
-        cands = grouped_aggregate(
-            cands, ["doc_a", "doc_b"], [("count", None, "_nbands")]
-        ).select_columns(["doc_a", "doc_b"])
+            cands = grouped_aggregate(
+                cands, ["doc_a", "doc_b"], [("count", None, "_nbands")]
+            ).select_columns(["doc_a", "doc_b"])
         base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         corpus: dict[int, str] = {}
         for i, t in zip(base.column("doc_id").to_pylist(),

@@ -25,10 +25,12 @@ Distributed shape (tau never changes the exchange structure):
                                         triu expansion + size filter
                                         (min >= tau*max prunes free)
   -> pair dedup + exact verify          exchange 4: high-cardinality pair
-                                        hash; then corpus-broadcast verify
-                                        (the minhash verify convention —
-                                        the >5M-doc deployment swaps in the
-                                        co-partitioned two-pass text join)
+                                        hash; then the corpus-size-GATED
+                                        verify shared with minhash
+                                        (queries.verify_candidate_pairs):
+                                        broadcast <= 1M docs, two-pass
+                                        co-partitioned text join (+ bloom
+                                        semi-join past ~5M docs) above
 
 Candidate volume is bounded by prefix-shingle bucket sizes; rarest-first
 ordering makes those buckets the rarest shingles in each document.
@@ -42,30 +44,22 @@ import pyarrow as pa
 TAU = 0.5
 
 
-def _ray():
-    import ray
-
-    return ray
-
-
 def _prefix_len(sizes: np.ndarray, tau: float) -> np.ndarray:
     return sizes - np.ceil(tau * sizes).astype(np.int64) + 1
 
 
-def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = None):
-    from ..functions.dedup import jaccard_pct_exact, shingle_strs
+def q_jaccard_join_exact(
+    sf_dir: str,
+    tau: float = TAU,
+    n_parts: int | None = None,
+    verify_mode: str | None = None,
+):
+    from ..functions.dedup import shingle_strs
     from ..stages.agg import _key_hash, grouped_aggregate
     from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
-    from .queries import (
-        DUP_EVERY,
-        DUP_OFFSET,
-        _corpus_with_planted_dups,
-        _hash_part,
-        mutate_text,
-    )
+    from .queries import _corpus_with_planted_dups, _hash_part
 
-    ray = _ray()
     P = int(n_parts or min(32, shuffle_blocks()))
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -237,56 +231,25 @@ def q_jaccard_join_exact(sf_dir: str, tau: float = TAU, n_parts: int | None = No
                     batch_format="pyarrow")
     )
 
-    # global pair dedup, then exact verify against the broadcast corpus
-    # (same small-corpus convention as minhash_near_dup's broadcast mode;
-    # the >5M-doc deployment swaps in the co-partitioned two-pass join)
-    # pair keys are ~unique -> the high-cardinality hash exchange (the
-    # native sort-aggregate measured 71 s of remote time here); then merge
-    # the tiny pair table into a few blocks so the verify stage pays the
-    # broadcast-corpus deserialize once per task, not once per micro-block
+    # global pair dedup (pair keys are ~unique -> the high-cardinality hash
+    # exchange; the native sort-aggregate measured 71 s of remote time
+    # here), merged into a few blocks so the broadcast verify pays the
+    # corpus deserialize once per task, not once per micro-block
     cands = grouped_aggregate(
         cands, ["doc_a", "doc_b"], [("count", None, "_n")],
         high_cardinality=True,
     ).select_columns(["doc_a", "doc_b"]).repartition(4)
 
-    import pyarrow.parquet as pq
+    # exact verify: the corpus-size-gated stage shared with minhash —
+    # broadcast (doc_id -> text) map below MINHASH_BROADCAST_MAX_DOCS,
+    # the two-pass co-partitioned text join (+ bloom semi-join past ~5M
+    # docs) above it.  Modes pinned equal by
+    # tests/test_text_dedup.py::test_ppjoin_verify_modes_agree.
+    from .queries import verify_candidate_pairs
 
-    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    corpus: dict[int, str] = {}
-    for i, t in zip(base.column("doc_id").to_pylist(),
-                    base.column("text").to_pylist()):
-        corpus[int(i)] = t
-        if int(i) % DUP_EVERY == 0:
-            corpus[int(i) + DUP_OFFSET] = mutate_text(t, int(i))
-    corpus_ref = ray.put(corpus)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(corpus_ref)
-        cache: dict[int, set] = {}
-
-        def sh(i: int) -> set:
-            v = cache.get(i)
-            if v is None:
-                v = shingle_strs(texts.get(i, ""))
-                cache[i] = v
-            return v
-
-        da, db, jj = [], [], []
-        for a_id, b_id in zip(batch.column("doc_a").to_numpy(),
-                              batch.column("doc_b").to_numpy()):
-            i, u = jaccard_pct_exact(sh(int(a_id)), sh(int(b_id)))
-            if i >= tau * u:
-                da.append(int(a_id))
-                db.append(int(b_id))
-                jj.append((200 * i + u) // (2 * u))
-        return pa.table({
-            "doc_a": pa.array(da, type=pa.int64()),
-            "doc_b": pa.array(db, type=pa.int64()),
-            "jaccard_pct": pa.array(jj, type=pa.int64()),
-        })
-
-    return cands.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=8192
+    return verify_candidate_pairs(
+        cands, _corpus_with_planted_dups(sf_dir), sf_dir, tau, P,
+        verify_mode=verify_mode, pre_deduped=True,
     )
 
 

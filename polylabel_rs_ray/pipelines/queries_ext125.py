@@ -8,14 +8,15 @@ vector under the integer SQ8 L2 ADC (ties break to the smaller
 vec_id via the packed ``(d2 << 40) | id`` key, the sq8_topk
 discipline) and whether its label matches.  All-integer distances
 make the oracle bit-exact including the distance column.  Scale
-shape: the quantized code matrix + labels broadcast ONCE (ray.put —
-the embedding table here is the bounded evaluation split, ~2k × 64
-uint8 codes ≈ 128 KB); each batch scores its rows against the
-broadcast side with one int64 Gram matmul, self-matches masked by
-vec_id.  At a 100-TB corpus scale the all-pairs form is the k-NN-join
-problem and would go through the LSH/IVF bucketing paths
-(embedding_near_dup / ivf_topk); the broadcast form is the right
-shape for evaluation-split sized inputs and is annotated as such.
+shape: the code matrix is SHARDED, never whole — vectors are
+quantized in workers and the materialized Arrow blocks ARE the
+shards (object-store resident, spillable); each scoring task streams
+shard-by-shard with a running packed-key minimum, so memory is one
+batch + one shard and the partition-local 1-NN + merge is fused into
+the task (the ann_topk discipline).  The exact leave-one-out audit is
+inherently O(N^2) compute — at a 100-TB corpus the k-NN join goes
+through the LSH/IVF bucketing paths (embedding_near_dup / ivf_topk);
+this exact form is for evaluation-split sized inputs.
 
 ``sq8_dim_profile`` — the quantization-table audit: per embedding
 dimension, the exact int64 count, code sum and code square-sum of the
@@ -71,20 +72,41 @@ WITH dims AS (
 # --------------------------------------------------------------------------
 
 
-class _NnScorer:
-    """map_batches stage: batch rows vs the broadcast code matrix —
-    one int64 Gram matmul, self masked, packed-key argmin."""
+class _ShardedNnScorer:
+    """map_batches stage: batch rows vs the SHARDED code matrix.  Each
+    shard is one worker-quantized Arrow block in the object store; the
+    stage streams shard-by-shard keeping a running packed-key minimum per
+    query row, so the partition-local 1-NN + merge happens inside the
+    task with one shard resident at a time (the ann_topk discipline —
+    never a whole-corpus object anywhere)."""
 
-    def __init__(self, codes_ref, mn, span):
-        import ray
-
+    def __init__(self, shard_refs, mn, span):
+        self.shard_refs = shard_refs
         self.mn = mn
         self.span = span
-        ids, labels, codes = ray.get(codes_ref)
-        self.ids = ids
-        self.labels = labels
-        self.codes = codes                       # (N, dim) int64
-        self.c2 = (codes * codes).sum(axis=1)    # (N,)
+        self._shards = None  # decoded lazily; numpy views over plasma
+
+    def _shard_views(self):
+        import ray
+
+        if self._shards is None:
+            views = []
+            for ref in self.shard_refs:
+                t = ray.get(ref)  # zero-copy plasma read (Arrow table)
+                if t.num_rows == 0:
+                    continue
+                ids = t.column("vec_id").to_numpy().astype(np.int64)
+                labels = t.column("label").to_numpy().astype(np.int64)
+                code = t.column("code")
+                if isinstance(code, pa.ChunkedArray):
+                    code = code.combine_chunks()
+                dim = code.type.list_size
+                codes = code.values.to_numpy(zero_copy_only=False).reshape(
+                    len(ids), dim)
+                views.append((ids, labels, codes,
+                              (codes * codes).sum(axis=1)))
+            self._shards = views
+        return self._shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.sim import embedding_matrix
@@ -93,27 +115,35 @@ class _NnScorer:
         qids = batch.column("vec_id").to_numpy().astype(np.int64)
         qlab = batch.column("label").to_numpy().astype(np.int64)
         q2 = (qc * qc).sum(axis=1)
-        d2 = q2[:, None] + self.c2[None, :] - 2 * (qc @ self.codes.T)
-        packed = (d2 << np.int64(40)) | self.ids[None, :]
-        packed[qids[:, None] == self.ids[None, :]] = np.iinfo(np.int64).max
-        best = np.argmin(packed, axis=1)
-        nn_id = self.ids[best]
-        nn_lab = self.labels[best]
-        nn_d2 = d2[np.arange(len(qids)), best]
+        nq = len(qids)
+        rows = np.arange(nq)
+        imax = np.iinfo(np.int64).max
+        best_packed = np.full(nq, imax, dtype=np.int64)
+        best_label = np.zeros(nq, dtype=np.int64)
+        best_d2 = np.zeros(nq, dtype=np.int64)
+        for ids, labels, codes, c2 in self._shard_views():
+            d2 = q2[:, None] + c2[None, :] - 2 * (qc @ codes.T)
+            packed = (d2 << np.int64(40)) | ids[None, :]
+            packed[qids[:, None] == ids[None, :]] = imax
+            j = np.argmin(packed, axis=1)
+            cand = packed[rows, j]
+            upd = cand < best_packed
+            best_packed[upd] = cand[upd]
+            best_label[upd] = labels[j][upd]
+            best_d2[upd] = d2[rows, j][upd]
+        nn_id = best_packed & ((np.int64(1) << np.int64(40)) - 1)
         return pa.table({
             "vec_id": pa.array(qids, type=pa.int64()),
             "label": pa.array(qlab, type=pa.int64()),
             "nn_id": pa.array(nn_id, type=pa.int64()),
-            "nn_label": pa.array(nn_lab, type=pa.int64()),
-            "nn_d2": pa.array(nn_d2, type=pa.int64()),
-            "same_label": pa.array((qlab == nn_lab).astype(np.int64),
+            "nn_label": pa.array(best_label, type=pa.int64()),
+            "nn_d2": pa.array(best_d2, type=pa.int64()),
+            "same_label": pa.array((qlab == best_label).astype(np.int64),
                                    type=pa.int64()),
         })
 
 
-def q_sq8_1nn_label_audit(sf_dir: str):
-    import pyarrow.parquet as pq
-
+def q_sq8_1nn_label_audit(sf_dir: str, n_shards: int | None = None):
     from ..functions.sim import embedding_matrix
     from ..stages.util import actor_concurrency
 
@@ -121,19 +151,30 @@ def q_sq8_1nn_label_audit(sf_dir: str):
     mn, mx = _minmax(sf_dir)
     span = np.where(mx > mn, mx - mn, 1.0)
 
-    # bounded evaluation split: quantize + broadcast once
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding", "label"])
-    codes = _quantize(embedding_matrix(t), mn, span)
-    ids = t.column("vec_id").to_numpy().astype(np.int64)
-    labels = t.column("label").to_numpy().astype(np.int64)
-    codes_ref = ray.put((ids, labels, codes))
-
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
+
+    # quantize in WORKERS; the materialized blocks are the code-matrix
+    # shards (object-store resident, spillable, never concatenated)
+    def encode(batch: pa.Table) -> pa.Table:
+        c = _quantize(embedding_matrix(batch), mn, span)
+        n, dim = c.shape
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(c.ravel(), type=pa.int64()), dim),
+        })
+
+    coded = ds.map_batches(encode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    if n_shards is not None:
+        coded = coded.repartition(n_shards)
+    shard_refs = [r for r in coded.materialize().to_arrow_refs()]
+
     return ds.map_batches(
-        _NnScorer,
-        fn_constructor_kwargs={"codes_ref": codes_ref, "mn": mn,
+        _ShardedNnScorer,
+        fn_constructor_kwargs={"shard_refs": shard_refs, "mn": mn,
                                "span": span},
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -89,3 +89,19 @@ def test_dim_profile_bounds(ray_session):
     assert (d["code_sum"] <= 255 * n).all()
     assert (d["code_sq_sum"] <= 255 * d["code_sum"]).all()
     assert (d["code_sq_sum"] >= d["code_sum"]).all()  # code² >= code on ints
+
+
+def test_1nn_audit_shard_invariant(ray_session):
+    """The sharded running-min scorer is shard-count invariant: one big
+    shard == many small shards (pins the partition-local 1-NN + merge
+    against the fused single-matrix semantics)."""
+    from polylabel_rs_ray.pipelines.queries_ext125 import q_sq8_1nn_label_audit
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    a = norm(q_sq8_1nn_label_audit(SF, n_shards=1).to_pandas())
+    b = norm(q_sq8_1nn_label_audit(SF, n_shards=7).to_pandas())
+    assert len(a) == len(b) > 0
+    assert a.equals(b)

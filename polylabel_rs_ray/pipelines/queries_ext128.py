@@ -6,9 +6,11 @@ concentration of their purchasing across part TYPES as exact integer
 numerators: n = lineitems, sumsq = Σ n_t² over the customer's
 per-type counts (HHI = sumsq/n², emitted as the two integers so no
 float division crosses the oracle boundary), plus the distinct type
-count.  Shape: orders→lineitem co-partitioned fact-fact join on
-orderkey (one hash exchange), part type attached from the broadcast
-part dimension, then a (custkey, type-class) hash aggregate whose
+count.  Shape: part type attached from the broadcast part dimension,
+then the orders FACT attached via the size-gated broadcast /
+co-partitioned orderkey exchange (stages/factjoin.attach_order_custkey
+— modes pinned equal in pytest), then a (custkey, type-class) hash
+aggregate whose
 bounded per-customer fan-in (≤150 types) collapses map-side before
 the final per-customer fold.  Oracle: the same two-level GROUP BY.
 
@@ -55,12 +57,15 @@ def _rev_cents_pct(batch: pa.Table) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def q_customer_parttype_hhi(sf_dir: str):
+def q_customer_parttype_hhi(sf_dir: str, join_mode: str | None = None):
     import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_aggregate, hash_grouped_aggregate
+    from ..stages.factjoin import attach_order_custkey
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
+    P = min(32, shuffle_blocks())
     # broadcast part dimension: partkey -> type class id (sorted types)
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"])
@@ -73,35 +78,32 @@ def q_customer_parttype_hhi(sf_dir: str):
     pk, tcls = pk[order], tcls[order]
     side = ray.put((pk, tcls))
 
-    # broadcast orderkey -> custkey (orders is the smaller fact; at true
-    # scale this is the co-partitioned exchange — here the packed array
-    # broadcast keeps it one pass, the revenue_by_region discipline)
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
-    ok = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    ck = orders.column("o_custkey").to_numpy().astype(np.int64)
-    oorder = np.argsort(ok)
-    ok, ck = ok[oorder], ck[oorder]
-    oside = ray.put((ok, ck))
-
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_partkey"])
 
-    def attach(batch: pa.Table) -> pa.Table:
+    def attach_type(batch: pa.Table) -> pa.Table:
         pk_, tcls_ = ray.get(side)
-        ok_, ck_ = ray.get(oside)
         lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
         lp = batch.column("l_partkey").to_numpy().astype(np.int64)
-        cust = ck_[np.searchsorted(ok_, lo)]
-        cls = tcls_[np.searchsorted(pk_, lp)]
+        pos = np.searchsorted(pk_, lp)
+        assert np.all(pk_[pos] == lp), "FK violation: l_partkey not in part"
         return pa.table({
-            "c": pa.array(cust, type=pa.int64()),
-            "t": pa.array(cls, type=pa.int64()),
-            "one": pa.array(np.ones(len(lo), dtype=np.int64)),
+            "okey": pa.array(lo, type=pa.int64()),
+            "t": pa.array(tcls_[pos], type=pa.int64()),
         })
 
+    # orders attach: size-gated broadcast / co-partitioned exchange
+    # (orders is a fact, not a dim — stages/factjoin.py)
+    fact = ds.map_batches(attach_type, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = attach_order_custkey(sf_dir, fact, ["t"], P, mode=join_mode)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
     ct = hash_grouped_aggregate(
-        ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True),
+        joined.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
         ["c", "t"], [("sum", "one", "n")],
     )
 

@@ -14,10 +14,10 @@ hide a broken divisor).
 ``customer_region_coverage`` — relational division through a join
 chain: per customer, the bitmask and count of supplier REGIONS their
 lineitems touch (lineitem → orders (orderkey→cust) → supplier →
-nation → region), and the has-all-regions flag.  The three dimension
-maps broadcast once (supplier/nation/region are tiny; the
-orderkey→cust map is the revenue_by_region broadcast discipline — at
-true scale that side goes through the co-partitioned exchange);
+nation → region), and the has-all-regions flag.  supplier/nation/
+region broadcast once (tiny bounded dims); the orders FACT attaches
+through the size-gated broadcast/co-partitioned exchange
+(stages/factjoin.attach_order_custkey — modes pinned equal in pytest);
 distinct (cust, region) collapses map-side, the mask is
 Σ 2^region over the distinct pairs.  Oracle: joins + bit_or /
 COUNT(DISTINCT).
@@ -130,12 +130,15 @@ FROM uw GROUP BY user_id
 # --------------------------------------------------------------------------
 
 
-def q_customer_region_coverage(sf_dir: str):
+def q_customer_region_coverage(sf_dir: str, join_mode: str | None = None):
     import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_aggregate
+    from ..stages.factjoin import attach_order_custkey
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
+    P = min(32, shuffle_blocks())
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -149,29 +152,31 @@ def q_customer_region_coverage(sf_dir: str):
     sorder = np.argsort(sk)
     sk, sn = sk[sorder], sn[sorder]
     sreg = rk[np.searchsorted(nk, sn)]
-
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
-    ok = orders.column("o_orderkey").to_numpy().astype(np.int64)
-    ck = orders.column("o_custkey").to_numpy().astype(np.int64)
-    oorder = np.argsort(ok)
-    ok, ck = ok[oorder], ck[oorder]
-    side = ray.put((sk, sreg, ok, ck))
+    side = ray.put((sk, sreg))
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                columns=["l_orderkey", "l_suppkey"])
 
-    def attach(batch: pa.Table) -> pa.Table:
-        sk_, sreg_, ok_, ck_ = ray.get(side)
+    # bounded dims (supplier -> region) broadcast; the orders FACT goes
+    # through the size-gated attach (stages/factjoin.py)
+    def attach_region(batch: pa.Table) -> pa.Table:
+        sk_, sreg_ = ray.get(side)
         lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
         ls = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        cust = ck_[np.searchsorted(ok_, lo)]
-        reg = sreg_[np.searchsorted(sk_, ls)]
-        t = pa.table({
-            "c": pa.array(cust, type=pa.int64()),
-            "r": pa.array(reg, type=pa.int64()),
+        pos = np.searchsorted(sk_, ls)
+        assert np.all(sk_[pos] == ls), "FK violation: l_suppkey not in supplier"
+        return pa.table({
+            "okey": pa.array(lo, type=pa.int64()),
+            "r": pa.array(sreg_[pos], type=pa.int64()),
         })
-        out = t.group_by(["c", "r"]).aggregate([("r", "count")])
+
+    fact = ds.map_batches(attach_region, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = attach_order_custkey(sf_dir, fact, ["r"], P, mode=join_mode)
+
+    # map-side distinct (c, r) collapse before the global aggregate
+    def pairs(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["c", "r"]).aggregate([("r", "count")])
         return pa.table({
             "c": out.column("c"),
             "r": out.column("r"),
@@ -179,7 +184,7 @@ def q_customer_region_coverage(sf_dir: str):
         })
 
     cr = grouped_aggregate(
-        ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True),
+        joined.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
         ["c", "r"], [("count", None, "n")],
     )
 

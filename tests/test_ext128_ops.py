@@ -85,3 +85,14 @@ def test_brand_share_brute(ray_session, con):
         assert row["top_rev"] == grp["rev"].iloc[0]
         assert row["total_rev"] == grp["rev"].sum()
         assert row["top_rev"] <= row["total_rev"]
+
+
+def test_hhi_join_modes_agree(ray_session):
+    """The size-gated orders attach (stages/factjoin.attach_order_custkey)
+    is mode-invariant: broadcast == co-partitioned exchange."""
+    from polylabel_rs_ray.pipelines.queries_ext128 import q_customer_parttype_hhi
+
+    a = _norm(q_customer_parttype_hhi(SF, join_mode="broadcast").to_pandas())
+    b = _norm(q_customer_parttype_hhi(SF, join_mode="partitioned").to_pandas())
+    assert len(a) == len(b) > 0
+    assert a.equals(b)

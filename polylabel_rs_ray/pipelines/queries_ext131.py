@@ -191,15 +191,11 @@ DAY_US = 86_400_000_000
 
 
 def q_customer_priority_drift(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    from ..stages.agg import grouped_aggregate
+    from ..stages.agg import distinct_values, grouped_aggregate
 
     ray = _ray()
-    pri = sorted(set(
-        pq.read_table(f"{sf_dir}/orders.parquet",
-                      columns=["o_orderpriority"])
-        .column("o_orderpriority").to_pylist()))
+    # distributed distinct — never a driver column scan of the fact table
+    pri = distinct_values(f"{sf_dir}/orders.parquet", "o_orderpriority")
     pidx = {p: i for i, p in enumerate(pri)}
     NP = len(pri)
 

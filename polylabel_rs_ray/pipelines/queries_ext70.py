@@ -35,16 +35,15 @@ def _ray():
 
 
 def q_typeset_containment_pairs(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    from ..stages.agg import grouped_aggregate, hash_grouped_aggregate
+    from ..stages.agg import (
+        distinct_values, grouped_aggregate, hash_grouped_aggregate,
+    )
 
     ray = _ray()
 
-    # bounded type domain, alphabetical bit order (mirrored in SQL)
-    types = sorted(set(
-        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
-        .column("event_type").to_pylist()))
+    # bounded type domain, alphabetical bit order (mirrored in SQL) —
+    # discovered by the distributed distinct, never a driver column scan
+    types = distinct_values(f"{sf_dir}/events.parquet", "event_type")
     bit_of = {t: i for i, t in enumerate(types)}
 
     def keyed(batch: pa.Table) -> pa.Table:

@@ -39,14 +39,13 @@ def _ray():
 
 
 def q_audience_overlap_matrix(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    from ..stages.agg import grouped_aggregate, hash_grouped_aggregate
+    from ..stages.agg import (
+        distinct_values, grouped_aggregate, hash_grouped_aggregate,
+    )
 
     ray = _ray()
-    types = sorted(set(
-        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])
-        .column("event_type").to_pylist()))
+    # distributed distinct — never a driver column scan of the fact table
+    types = distinct_values(f"{sf_dir}/events.parquet", "event_type")
     bit_of = {t: i for i, t in enumerate(types)}
 
     def keyed(batch: pa.Table) -> pa.Table:

@@ -119,19 +119,17 @@ FROM pairs GROUP BY o_custkey
 
 
 def q_l_diversity_audit(sf_dir: str):
-    from ..stages.agg import grouped_aggregate, hash_grouped_aggregate
+    from ..stages.agg import (
+        distinct_values, grouped_aggregate, hash_grouped_aggregate,
+    )
 
     ray = _ray()
 
     # bounded QI domain: lang x char-bucket; sensitive attribute: source.
-    # encode (lang, bucket, source) to integer ids driver-side? langs and
-    # sources are data-driven but bounded — read the tiny domains once.
-    import pyarrow.parquet as pq
-
-    doms = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["lang", "source"])
-    langs = sorted(set(doms.column("lang").to_pylist()))
-    sources = sorted(set(doms.column("source").to_pylist()))
+    # The domains are bounded but the column is not — discover them with
+    # the distributed distinct, never a driver column scan.
+    langs = distinct_values(f"{sf_dir}/documents.parquet", "lang")
+    sources = distinct_values(f"{sf_dir}/documents.parquet", "source")
     lang_id = {v: i for i, v in enumerate(langs)}
     src_id = {v: i for i, v in enumerate(sources)}
     n_src = len(sources)

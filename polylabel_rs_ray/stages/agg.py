@@ -231,3 +231,28 @@ def hash_grouped_aggregate(ds, keys: list[str], specs: list[tuple],
         .groupby("__gpart")
         .map_groups(agg_partition, batch_format="pyarrow")
     )
+
+
+def distinct_values(path: str, col: str) -> list:
+    """Distributed distinct of one parquet column, for DOMAIN DISCOVERY:
+    per-batch ``pyarrow.compute.unique`` partials (each block contributes
+    at most |domain| rows), one bounded hash aggregate, then a driver
+    collect of the tiny domain.  Replaces driver-side full-column scans
+    (``pq.read_table(path, columns=[col])``) — the domain is bounded but
+    a fact-table column at 10^12 rows is not.  Returns the sorted values.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(path, columns=[col])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({col: pc.unique(c)})
+
+    out = grouped_aggregate(
+        ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True),
+        [col], [("count", None, "_n")],
+    ).to_pandas()
+    return sorted(out[col].tolist())

@@ -80,3 +80,21 @@ def test_l_diversity_invariants(ray_session, con):
     assert (d["l_distinct_sources"] <= n_src).all()
     assert int(d["class_size"].sum()) == total
     assert (d["at_risk"] == (d["l_distinct_sources"] == 1)).all()
+
+
+def test_distinct_values_matches_driver_scan(ray_session):
+    """The distributed-distinct domain helper returns exactly the sorted
+    driver-scan result on every column it replaced a scan for."""
+    import pyarrow.parquet as pq
+
+    from polylabel_rs_ray.stages.agg import distinct_values
+
+    for path, col in [
+        (f"{SF}/events.parquet", "event_type"),
+        (f"{SF}/documents.parquet", "lang"),
+        (f"{SF}/documents.parquet", "source"),
+        (f"{SF}/orders.parquet", "o_orderpriority"),
+    ]:
+        expect = sorted(set(pq.read_table(path, columns=[col])
+                            .column(col).to_pylist()))
+        assert distinct_values(path, col) == expect and len(expect) > 0

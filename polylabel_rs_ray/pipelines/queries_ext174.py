@@ -90,6 +90,12 @@ def q_secretary_stopping(sf_dir: str, n_parts: int | None = None):
         # per-SEGMENT-ID ramp step larger than any cents value, so the
         # running max can never leak across a segment boundary, then undo
         seg_id = np.cumsum(seg_mask) - 1
+        # the ramp assumes |cents| < 2^40 and seg_id * 2^40 < 2^63 —
+        # fail loudly at the scale limit instead of corrupting thresholds
+        assert (n == 0 or
+                (np.abs(v).max() < (np.int64(1) << 40)
+                 and seg_id[-1] < (np.int64(1) << 22))), \
+            "secretary_stopping ramp overflow: |cents| or segment count"
         ramp = seg_id * (np.int64(1) << 40)
         cm = v + ramp
         np.maximum.accumulate(cm, out=cm)
@@ -287,7 +293,11 @@ def q_trade_asymmetry_matrix(sf_dir: str, n_parts: int | None = None):
         suppk = batch.column("l_suppkey").to_numpy().astype(np.int64)
         cnk = batch.column("c_nationkey").to_numpy().astype(np.int64)
         rev = batch.column("revenue_micro").to_numpy().astype(np.int64)
-        snk = snk_sorted[np.searchsorted(sk_sorted, suppk)]
+        pos = np.clip(np.searchsorted(sk_sorted, suppk), 0,
+                      len(sk_sorted) - 1)
+        assert np.all(sk_sorted[pos] == suppk), \
+            "FK violation: l_suppkey not in supplier"
+        snk = snk_sorted[pos]
         t = pa.table({
             "snk": pa.array(snk, type=pa.int64()),
             "cnk": pa.array(cnk, type=pa.int64()),

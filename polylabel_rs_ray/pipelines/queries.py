@@ -47,10 +47,11 @@ def _ray():
 _LABELED_CACHE: dict[str, object] = {}
 
 
-def _labeled_checkpoint_dir(sf_dir: str) -> str:
+def _labeled_checkpoint_dir(sf_dir: str, name: str = "labeled") -> str:
     """Deterministic checkpoint path keyed by source identity (path + mtime +
     size of documents.parquet) — the lineage fingerprint that invalidates the
-    checkpoint if the input changes."""
+    checkpoint if the input changes.  ``name`` selects the derived artifact
+    ("labeled" label columns, "tokenized" token lists, ...)."""
     import os
     import tempfile
     from hashlib import sha256
@@ -61,7 +62,7 @@ def _labeled_checkpoint_dir(sf_dir: str) -> str:
     except OSError:
         stamp = sf_dir
     fp = sha256(stamp.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "polylabel_ckpt", fp, "labeled")
+    return os.path.join(tempfile.gettempdir(), "polylabel_ckpt", fp, name)
 
 
 def _publish_checkpoint(ckpt: str, write_fn) -> None:

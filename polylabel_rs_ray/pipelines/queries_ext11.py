@@ -44,18 +44,23 @@ def q_diameter_stats(sf_dir: str):
     )
 
 
-def _independent_metrology(ext: np.ndarray) -> tuple[float, float]:
-    """Oracle-side twin computed WITHOUT the engine kernels: pure-Python
-    all-pairs diameter over ALL ring vertices (no convex hull) and a
+def _independent_metrology(raw_ext) -> tuple[float, float]:
+    """Oracle-side twin computed WITHOUT any engine code: pure-Python bbox
+    normalization (min subtraction, fp-exact on the dyadic fixtures),
+    all-pairs diameter over ALL ring vertices (no convex hull), and a
     sequential math.sqrt perimeter loop.  Independent code path, same IEEE
     doubles — on the dyadic fixtures both agree bit-for-bit with the
     kernels (the all-pairs max is over exact integer-in-float squares; the
     perimeter edges are few enough that numpy's pairwise sum degenerates
-    to the sequential order).  Keeps the SQL constants from sharing code
-    with ``ring_diameter_sq``/``ring_perimeter`` under test."""
+    to the sequential order).  Keeps the SQL constants from sharing ANY
+    code with ``_norm_exterior``/``ring_diameter_sq``/``ring_perimeter``
+    under test."""
     import math
 
-    pts = [(float(x), float(y)) for x, y in ext]
+    raw = [(float(x), float(y)) for x, y in raw_ext]
+    mnx = min(x for x, _ in raw)
+    mny = min(y for _, y in raw)
+    pts = [(x - mnx, y - mny) for x, y in raw]
     d2 = 0.0
     for i, (xi, yi) in enumerate(pts):
         for xj, yj in pts[i + 1:]:
@@ -76,10 +81,9 @@ def _sql_diameter_stats() -> str:
     cases_d, cases_p = [], []
     for name in DYADIC_FIXTURES:
         f = FIXTURE_CYCLE.index(name)
-        ext = _norm_exterior(
-            [np.asarray(r, dtype=np.float64) for r in FIXTURES[name].rings]
-        )
-        d2, per = _independent_metrology(ext)
+        # raw exterior ring straight from the fixture — normalization
+        # happens inside the independent pure-Python twin
+        d2, per = _independent_metrology(FIXTURES[name].rings[0])
         cases_d.append(f"WHEN {f} THEN {d2!r}")
         cases_p.append(f"WHEN {f} THEN {per!r}")
     n = docs_mod.N_FIXTURES

@@ -86,6 +86,56 @@ def tokens_flat(texts) -> tuple[pa.Array, np.ndarray]:
     return flat, new_off
 
 
+_TOKENIZED_CACHE: dict[str, object] = {}
+
+
+def tokenized_docs(sf_dir: str):
+    """Documents with their ``\\S+`` token LIST — ONE tokenization pass,
+    checkpointed as fingerprinted partitioned parquet (the ``labeled_docs``
+    discipline, queries.py:50-101) and shared by the BM25/TF-IDF family.
+    Each consumer streams (doc_id, toks) back and recovers the flat-token
+    + offsets view zero-copy via ``toks_flat_from_batch`` instead of
+    re-tokenizing the corpus once per pass."""
+    ds = _TOKENIZED_CACHE.get(sf_dir)
+    if ds is None:
+        from .queries import _labeled_checkpoint_dir, _publish_checkpoint
+
+        ckpt = _labeled_checkpoint_dir(sf_dir, "tokenized")
+
+        def write(tmp: str) -> None:
+            ray = _ray()
+
+            def tok(batch: pa.Table) -> pa.Table:
+                flat, off = tokens_flat(batch.column("text"))
+                return pa.table({
+                    "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                    "toks": pa.ListArray.from_arrays(
+                        pa.array(off, type=pa.int32()), flat),
+                })
+
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(
+                tok, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(tmp)
+
+        _publish_checkpoint(ckpt, write)
+        ds = _ray().data.read_parquet(ckpt)
+        _TOKENIZED_CACHE[sf_dir] = ds
+    return ds
+
+
+def toks_flat_from_batch(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """Recover the ``tokens_flat`` view (flat token array, per-doc int64
+    offsets starting at 0) from a ``tokenized_docs`` batch, zero-copy."""
+    arr = batch.column("toks")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy().astype(np.int64)
+    flat = arr.values.slice(off[0], off[-1] - off[0]) if len(off) else arr.values
+    return flat, off - (off[0] if len(off) else 0)
+
+
 def _doc_ngrams(texts, k: int) -> tuple[pa.Array, np.ndarray]:
     """(flat k-gram StringArray joined with ' ', per-doc gram counts) —
     k shifted takes over the flat token array + ONE elementwise join
@@ -476,12 +526,12 @@ def q_tfidf_top_terms(sf_dir: str):
     ray = _ray()
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # ONE tokenization pass: both the df pass and the scoring pass stream
+    # the checkpointed (doc_id, toks) parquet
+    ds = tokenized_docs(sf_dir)
 
     def df_partials(batch: pa.Table) -> pa.Table:
-        flat, off = tokens_flat(batch.column("text"))
+        flat, off = toks_flat_from_batch(batch)
         did = np.repeat(
             batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
         )
@@ -517,7 +567,7 @@ def q_tfidf_top_terms(sf_dir: str):
             self._df = dict(zip(v, d.tolist()))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            flat, off = tokens_flat(batch.column("text"))
+            flat, off = toks_flat_from_batch(batch)
             did = np.repeat(
                 batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
             )
@@ -571,12 +621,11 @@ def q_tfidf_top_terms_dist(sf_dir: str, n_parts: int | None = None):
     P = _P(n_parts)
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # ONE tokenization pass shared by both sides (fingerprinted checkpoint)
+    ds = tokenized_docs(sf_dir)
 
     def df_partials(batch: pa.Table) -> pa.Table:
-        flat, off = tokens_flat(batch.column("text"))
+        flat, off = toks_flat_from_batch(batch)
         did = np.repeat(
             batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
         )
@@ -611,7 +660,7 @@ def q_tfidf_top_terms_dist(sf_dir: str, n_parts: int | None = None):
     )
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        flat, off = tokens_flat(batch.column("text"))
+        flat, off = toks_flat_from_batch(batch)
         did = np.repeat(
             batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
         )

@@ -63,20 +63,20 @@ def q_bm25_top_terms(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_aggregate
-    from .queries_ext2 import tokens_flat
+    from .queries_ext2 import tokenized_docs, toks_flat_from_batch
 
     ray = _ray()
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # ONE tokenization pass: both the df pass and the scoring pass stream
+    # the checkpointed (doc_id, toks) parquet (queries_ext2.tokenized_docs)
+    ds = tokenized_docs(sf_dir)
 
     def df_partials(batch: pa.Table) -> pa.Table:
         """(term, distinct-doc count) per batch, plus ONE sentinel row
         (term="", n=total tokens in batch) — "" can never be a \\S+ token,
         so the corpus word total rides the same exchange for free."""
-        flat, off = tokens_flat(batch.column("text"))
+        flat, off = toks_flat_from_batch(batch)
         did = np.repeat(
             batch.column("doc_id").to_numpy().astype(np.int64), np.diff(off)
         )
@@ -113,7 +113,7 @@ def q_bm25_top_terms(sf_dir: str):
             self._dfs = d
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            flat, off = tokens_flat(batch.column("text"))
+            flat, off = toks_flat_from_batch(batch)
             bdoc = batch.column("doc_id").to_numpy().astype(np.int64)
             dl_batch = np.diff(off).astype(np.int64)
             did = np.repeat(bdoc, dl_batch)

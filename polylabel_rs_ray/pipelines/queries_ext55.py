@@ -39,16 +39,15 @@ def q_bm25_search(sf_dir: str):
 
     from ..stages.agg import grouped_aggregate
 
-    from .queries_ext2 import tokens_flat
+    from .queries_ext2 import tokenized_docs, toks_flat_from_batch
 
     ray = _ray()
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    # shared tokenization checkpoint (reused across the BM25/TF-IDF family)
+    ds = tokenized_docs(sf_dir)
 
     def moments(batch: pa.Table) -> pa.Table:
-        flat, off = tokens_flat(batch.column("text"))
+        flat, off = toks_flat_from_batch(batch)
         dl = np.diff(off).astype(np.int64)
         cols = {
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),

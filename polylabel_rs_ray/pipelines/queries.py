@@ -2459,6 +2459,36 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.98, n_parts: int | No
     return grouped_aggregate(pairs, ["vec_a", "vec_b"], [("max", "cos_pct", "cos_pct")])
 
 
+def _sql_embedding_near_dup(threshold: float = 0.98) -> str:
+    """Exhaustive all-pairs cosine ground truth for ``embedding_near_dup``
+    (two algorithms, one oracle — the jaccard_join_exact discipline): SQL
+    replays the deterministic planting (float64 mutate -> float32 store ->
+    float64 read, the exact engine cast chain) and sweeps every pair, so
+    the banded-LSH pipeline is held to the complete >= threshold set.  The
+    verification metric on both sides is float64 cosine; cos_pct rounding
+    is boundary-safe on this data (planted sims ~1.0, random 64-dim sims
+    ~N(0, 1/8) never reach 0.98)."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), planted AS (
+      SELECT vec_id + {DUP_OFFSET} AS vec_id,
+             CAST(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(CAST(x * 1.0001 + 1e-6 AS FLOAT) AS DOUBLE))
+                  AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % {DUP_EVERY} = 0
+    ), allv AS (
+      SELECT * FROM base UNION ALL SELECT * FROM planted
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.e, b.e) AS sim
+      FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, CAST(ROUND(sim * 100) AS BIGINT) AS cos_pct
+    FROM pairs WHERE sim >= {threshold}
+    """
+
+
 def q_ann_topk(sf_dir: str):
     """Exact cosine top-k (ranks only; scores differ from the SQL oracle's
     op order by ulps, ranks don't)."""
@@ -2488,12 +2518,53 @@ SQL_ANN_TOPK = """
 """
 
 
-def q_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate top-k (rows-only; recall pinned by pytest)."""
-    from ..functions.sim import ivf_topk_pipeline
+IVF_N_QUERIES = 3
+IVF_K = 5
 
-    ds = ivf_topk_pipeline(sf_dir, n_queries=3, k=5)
-    return ds.select_columns(["query_id", "rank", "vec_id"])
+
+def q_ivf_topk(sf_dir: str):
+    """IVF top-k, EXACT via the triangle-bound cell pruning + integer SQ8
+    ADC metric (functions/sim.py::ivf_topk_exact_pipeline) — oracle'd by
+    the exhaustive integer top-k (the sq8_topk SQL shape)."""
+    from ..functions.sim import ivf_topk_exact_pipeline
+
+    return ivf_topk_exact_pipeline(sf_dir, n_queries=IVF_N_QUERIES, k=IVF_K)
+
+
+def _sql_ivf_topk() -> str:
+    """Exhaustive integer-ADC top-k ground truth: the exact-IVF pipeline
+    must return precisely this (its cell pruning is provably lossless)."""
+    return f"""
+    WITH dims AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT d, MIN(x) AS mn,
+             CASE WHEN MAX(x) > MIN(x) THEN MAX(x) - MIN(x) ELSE 1.0 END AS span
+      FROM dims GROUP BY d
+    ), codes AS (
+      SELECT v.vec_id, v.d,
+             LEAST(255, GREATEST(0,
+                 CAST(FLOOR(((v.x - s.mn) * 255.0) / s.span) AS BIGINT))) AS code
+      FROM dims v JOIN stats s USING (d)
+    ), qcodes AS (
+      SELECT * FROM codes WHERE vec_id < {IVF_N_QUERIES}
+    ), dist AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             SUM((q.code - c.code) * (q.code - c.code)) AS d2
+      FROM qcodes q JOIN codes c ON q.d = c.d
+      GROUP BY q.vec_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, CAST(d2 AS BIGINT) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rank
+      FROM dist
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2
+    FROM ranked WHERE rank <= {IVF_K}
+    """
 
 
 def q_media_kind_counts(sf_dir: str):
@@ -4978,6 +5049,12 @@ def build_oracles() -> dict:
         "event_types_per_user": SQL_EVENT_TYPES_PER_USER,
         "props_value_stats": SQL_PROPS_VALUE_STATS,
         "video_frame_stats": SQL_VIDEO_FRAME_STATS,
-        # embedding_near_dup, ivf_topk: rows-only (LSH banding /
-        # trained-centroid ANN — approximate, no SQL analogue)
+        # two-algorithms-one-ground-truth oracle (the jaccard_join_exact
+        # precedent): the exhaustive all-pairs cosine sweep — LSH banding
+        # must find exactly the >= 0.98 pairs on this data (pinned green
+        # at sf0.001/0.01/0.1; the planted near-identical pairs dominate)
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        # exact-IVF: the triangle-bound pruning is lossless, so the
+        # exhaustive integer top-k IS the expected output
+        "ivf_topk": _sql_ivf_topk(),
     }

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 WS_K = 100  # weighted-sample size
 SKETCH_B = 512  # representatives per block
+SKETCH_NBLK = 64  # deterministic blocks: blk = event_id % SKETCH_NBLK
 SKETCH_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 
@@ -180,22 +181,43 @@ def q_value_quantile_sketch(sf_dir: str):
     """Approximate quantiles of the event value column at bounded memory:
     every block ships <= SKETCH_B weighted points (constant size however
     large the block), one concat-merge resolves the quantile set with
-    total rank error <= N/SKETCH_B (0.2% at B=512)."""
-    ray = _ray()
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    total rank error <= N/SKETCH_NBLK/SKETCH_B per block (additive).
 
-    def partial(batch: pa.Table) -> pa.Table:
+    Blocks are DETERMINISTIC — ``blk = event_id % SKETCH_NBLK`` — so the
+    sketch is partition-layout invariant and its every counter (and thus
+    every estimate) is replayed value-exactly by the SQL oracle (the
+    cmsketch discipline; this moved the query out of the rows-only set).
+    The price is one hash exchange of the (blk, cents) pairs instead of
+    the layout-dependent zero-shuffle form; at deployment SKETCH_NBLK
+    scales with the corpus so a block still sorts in one task."""
+    from ..stages.util import coalesce_for_shuffle
+
+    ray = _ray()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
         cents = np.rint(batch.column("value").to_numpy() * 100.0).astype(np.int64)
-        reps, w = sketch_block(cents)
+        return pa.table({
+            "blk": pa.array(eid % SKETCH_NBLK, type=pa.int64()),
+            "v": pa.array(cents, type=pa.int64()),
+        })
+
+    def sketch_group(group: pa.Table) -> pa.Table:
+        reps, w = sketch_block(group.column("v").to_numpy().astype(np.int64))
         return pa.table({
             "v": pa.array(reps, type=pa.float64()),
             "w": pa.array(w, type=pa.int64()),
         })
 
     merged = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(1)
-        .to_pandas()  # O(B x blocks) rows — bounded, never the raw data
+        coalesce_for_shuffle(
+            ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("blk")
+        .map_groups(sketch_group, batch_format="pyarrow")
+        .to_pandas()  # <= SKETCH_NBLK x SKETCH_B rows — bounded
     )
     v = merged["v"].to_numpy()
     w = merged["w"].to_numpy()
@@ -212,6 +234,43 @@ def q_value_quantile_sketch(sf_dir: str):
     })
 
 
+SQL_VALUE_QUANTILE_SKETCH = f"""
+WITH cents AS (
+  SELECT event_id % {SKETCH_NBLK} AS blk,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT blk, v,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY v) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY blk) AS n
+  FROM cents
+), strided AS (
+  SELECT blk, v, rn, n,
+         CAST(CEIL(CAST(n AS DOUBLE) / {SKETCH_B}) AS BIGINT) AS stride
+  FROM ranked
+), sel AS (
+  SELECT blk, v, rn FROM strided
+  WHERE (rn + 1) % stride = 0 OR rn = n - 1
+), reps AS (
+  SELECT blk, v,
+         rn - COALESCE(LAG(rn) OVER (PARTITION BY blk ORDER BY rn), -1) AS w
+  FROM sel
+), agg AS (
+  SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM reps GROUP BY v
+), c AS (
+  SELECT v, SUM(w) OVER (ORDER BY v) AS cum FROM agg
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n FROM reps
+)
+SELECT q,
+       (SELECT CAST(MIN(v) AS BIGINT) FROM c
+        WHERE cum >= GREATEST(1.0, CEIL(q * (SELECT n FROM tot))))
+           AS est_cents,
+       (SELECT n FROM tot) AS n_total
+FROM (SELECT UNNEST({list(SKETCH_QS)}) AS q)
+"""
+
+
 def build_queries_ext7() -> dict:
     return {
         "weighted_sample": q_weighted_sample,
@@ -221,8 +280,11 @@ def build_queries_ext7() -> dict:
 
 
 def build_oracles_ext7() -> dict:
-    # value_quantile_sketch is approximate by construction -> rows-only
+    # value_quantile_sketch is approximate vs TRUE quantiles, but fully
+    # deterministic given its blocks — the SQL replays the sketch itself
+    # (select reps, weight, merge, rank-select) value-exactly
     return {
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "embedding_norms": SQL_EMBEDDING_NORMS,
+        "value_quantile_sketch": SQL_VALUE_QUANTILE_SKETCH,
     }

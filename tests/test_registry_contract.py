@@ -58,13 +58,10 @@ def test_rows_only_set_is_the_documented_one():
 
     rows_only = set(build_queries()) - set(build_oracles())
     allowed = {
-        "embedding_near_dup",   # LSH banding over float cosine — approximate
-        "ivf_topk",             # trained-centroid ANN, approximate
         "approx_distinct_users",  # HLL sketch, approximate
         "hll_type_overlap",     # HLL set algebra, approximate
         "pagerank_parts",       # iterative float algorithm (repr-exact floats
                                 # don't survive a SQL replay)
-        "value_quantile_sketch",  # approximate by construction
         "bpe_merges",           # iterative merge loop (rank k+1 depends on
                                 # the applied merge k); pinned exactly vs a
                                 # pure-Python reference BPE in

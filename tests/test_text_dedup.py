@@ -316,3 +316,26 @@ def test_minhash_bloom_path_equals_unfiltered(ray_session):
     sa = set(zip(a.doc_a, a.doc_b, a.jaccard_pct))
     sb = set(zip(b.doc_a, b.doc_b, b.jaccard_pct))
     assert sa == sb and len(sa) > 0
+
+def test_ivf_exact_matches_bruteforce_integer_topk(ray_session):
+    """The exact-IVF triangle-bound cell pruning is lossless: the pipeline
+    equals an independent numpy brute-force integer-ADC top-k (no engine
+    kernels in the expected side)."""
+    import pyarrow.parquet as pq
+
+    from polylabel_rs_ray.pipelines.queries import IVF_K, IVF_N_QUERIES, q_ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mn, mx = emb.min(0), emb.max(0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    codes = np.clip(np.floor(((emb - mn) * 255.0) / span), 0, 255).astype(np.int64)
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+
+    got = q_ivf_topk(SF).to_pandas()
+    for qi in range(IVF_N_QUERIES):
+        d2 = ((codes - codes[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))[:IVF_K]
+        sub = got[got.query_id == ids[qi]].sort_values("rank")
+        assert list(sub.vec_id) == list(ids[order])
+        assert list(sub.d2) == [int(d2[o]) for o in order]

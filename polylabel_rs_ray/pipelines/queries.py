@@ -3338,62 +3338,62 @@ SQL_VIEW_ONLY_HOURS = """
 """
 
 
-def q_revenue_by_region(sf_dir: str):
-    """Multi-way broadcast join chain (region ⨝ nation ⨝ customer ⨝
-    orders): the three dimension tables compose into ONE custkey→region
-    lookup on the driver (dimensions are small by definition — that's what
-    makes them broadcastable), shipped once via the actor-pool stage; the
-    fact table then streams through a single vectorized gather + map-side
-    combined aggregate.  One pass over the fact table, no shuffle wider
-    than |regions| x blocks."""
+def q_revenue_by_region(sf_dir: str, join_mode: str | None = None):
+    """Join chain region ⨝ nation ⨝ customer ⨝ orders, split by scale
+    class: nation/region are bounded dims (a 25-entry nationkey→r_name
+    lookup broadcast into the stage closure), while CUSTOMER is a
+    fact-scaled table — it attaches through the size-gated broadcast /
+    co-partitioned exchange (stages/factjoin.attach_cust_nationkey; modes
+    pinned equal in tests/test_queries.py).  One pass over orders below
+    the gate, one custkey exchange above it; the final shuffle is never
+    wider than |regions| x blocks."""
     import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_aggregate
+    from ..stages.factjoin import attach_cust_nationkey
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
+    P = min(32, shuffle_blocks())
     region = pq.read_table(f"{sf_dir}/region.parquet")
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    customer = pq.read_table(f"{sf_dir}/customer.parquet",
-                             columns=["c_custkey", "c_nationkey"])
     nkey = nation.column("n_nationkey").to_numpy().astype(np.int64)
     nreg = nation.column("n_regionkey").to_numpy().astype(np.int64)
     rkey = region.column("r_regionkey").to_numpy().astype(np.int64)
     rname = np.asarray(region.column("r_name").to_pylist(), dtype=object)
-    # compose dim⨝dim⨝dim on the driver: custkey -> region name
     order_n = np.argsort(nkey)
-    cust_reg = nreg[order_n][np.searchsorted(nkey[order_n],
-        customer.column("c_nationkey").to_numpy().astype(np.int64))]
     order_r = np.argsort(rkey)
-    cust_rname = rname[order_r][np.searchsorted(rkey[order_r], cust_reg)]
-    ckey = customer.column("c_custkey").to_numpy().astype(np.int64)
-    order_c = np.argsort(ckey)
-    lut_keys, lut_names = ckey[order_c], cust_rname[order_c]
+    nk_sorted = nkey[order_n]
+    nk_rname = rname[order_r][np.searchsorted(rkey[order_r], nreg[order_n])]
+    rname_arr = pa.array(list(nk_rname), type=pa.string())
 
-    class AttachRegion:
-        def __init__(self, keys, names):
-            self.keys = keys
-            self.names = pa.array(list(names), type=pa.string())
+    def fact(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64())
+        return pa.table({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "revenue_cents": cents,
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cust = batch.column("o_custkey").to_numpy().astype(np.int64)
-            idx = np.searchsorted(self.keys, cust)
-            cents = pc.cast(
-                pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
-            )
-            return pa.table({
-                "r_name": self.names.take(pa.array(idx)),
-                "revenue_cents": cents,
-            })
-
-    ds = ray.data.read_parquet(
+    orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).map_batches(
-        AttachRegion,
-        fn_constructor_args=(lut_keys, lut_names),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
+    ).map_batches(fact, batch_format="pyarrow", zero_copy_batch=True)
+    joined = attach_cust_nationkey(sf_dir, orders, ["revenue_cents"], P,
+                                   mode=join_mode)
+
+    def name_region(batch: pa.Table) -> pa.Table:
+        nk = batch.column("nk").to_numpy().astype(np.int64)
+        pos = np.searchsorted(nk_sorted, nk)
+        assert len(nk) == 0 or np.all(nk_sorted[pos] == nk), \
+            "FK violation: c_nationkey not in nation"
+        return pa.table({
+            "r_name": rname_arr.take(pa.array(pos)),
+            "revenue_cents": batch.column("revenue_cents"),
+        })
+
+    ds = joined.map_batches(name_region, batch_format="pyarrow",
+                            zero_copy_batch=True)
     return grouped_aggregate(
         ds, ["r_name"],
         [("sum", "revenue_cents", "revenue_cents"), ("count", None, "n_orders")],

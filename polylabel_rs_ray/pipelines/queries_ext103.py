@@ -143,14 +143,14 @@ def q_returned_item_revenue_q10(sf_dir: str, n_parts: int | None = None):
     top = per_cust.sort(["revenue_micro", "c_custkey"],
                         descending=[True, False]).limit(Q10_TOPN).to_pandas()
 
-    # dimension attach for the bounded winner set only
-    want = set(top["c_custkey"].astype(np.int64).tolist())
+    # dimension attach for the bounded winner set only — the key-set
+    # filter pushes down to parquet row groups, so the driver reads only
+    # matching pages, never the whole fact-scaled customer table
+    want = sorted(int(k) for k in top["c_custkey"].astype(np.int64))
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name", "c_nationkey"])
-    ckeys = cust.column("c_custkey").to_numpy().astype(np.int64)
-    keep = np.fromiter((int(k) in want for k in ckeys), dtype=bool,
-                       count=len(ckeys))
-    dim = cust.filter(pa.array(keep)).to_pandas().set_index("c_custkey")
+                         columns=["c_custkey", "c_name", "c_nationkey"],
+                         filters=[("c_custkey", "in", want)])
+    dim = cust.to_pandas().set_index("c_custkey")
     top["c_name"] = top["c_custkey"].map(dim["c_name"]).astype(str)
     top["c_nationkey"] = top["c_custkey"].map(dim["c_nationkey"]) \
         .astype(np.int64)

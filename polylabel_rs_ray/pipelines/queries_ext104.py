@@ -70,12 +70,11 @@ def q_market_share_q8(sf_dir: str, n_parts: int | None = None):
     region_key = rk[rname.index(Q8_REGION)]
     nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
     nrk = nat.column("n_regionkey").to_numpy().astype(np.int64)
-    asia_nations = set(nk[nrk == region_key].tolist())
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
-    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
-    cnk = cust.column("c_nationkey").to_numpy().astype(np.int64)
-    asia_cust = np.sort(ck[np.isin(cnk, list(asia_nations))])
+    asia_nations = np.sort(nk[nrk == region_key])
+    # the region membership flag attaches to orders through the
+    # size-gated broadcast / co-partitioned customer join (customer is
+    # fact-scaled; stages/factjoin.attach_fact_value) — never a driver
+    # scan of the whole customer table
 
     # broadcast side 2: ECONOMY partkeys
     part = pq.read_table(f"{sf_dir}/part.parquet",
@@ -101,10 +100,10 @@ def q_market_share_q8(sf_dir: str, n_parts: int | None = None):
         return sorted_keys[pos] == keys
 
     def key_orders(batch: pa.Table) -> pa.Table:
+        # batch comes from the gated customer attach: in_region flag
         okey = batch.column("o_orderkey").to_numpy().astype(np.int64)
-        date_us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
-        custk = batch.column("o_custkey").to_numpy().astype(np.int64)
-        m = _in_sorted(asia_cust, custk)
+        date_us = batch.column("order_date_us").to_numpy().astype(np.int64)
+        m = batch.column("in_region").to_numpy().astype(np.int64) == 1
         years = _years_from_us(date_us[m])
         n = int(m.sum())
         return pa.table({
@@ -184,10 +183,28 @@ def q_market_share_q8(sf_dir: str, n_parts: int | None = None):
             "total_micro": g.column("total_micro_sum"),
         })
 
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(key_orders, batch_format="pyarrow", zero_copy_batch=True)
+    from ..stages.factjoin import attach_fact_value
+
+    def orders_fact(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "order_date_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+        })
+
+    flagged = attach_fact_value(
+        sf_dir, "customer", "c_custkey", "c_nationkey",
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(orders_fact, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["o_orderkey", "order_date_us"], P, out_col="in_region",
+        side_val_fn=lambda a: np.isin(
+            a.astype(np.int64), asia_nations).astype(np.int64),
+    )
+    od = flagged.map_batches(key_orders, batch_format="pyarrow",
+                             zero_copy_batch=True)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",

@@ -6,11 +6,13 @@ table" shape of marketing analytics): customers are bucketed by the
 nine exact deciles of account balance (cents-quantized, lower-quantile
 convention ``(n−1)·j//10``; bucket = #boundaries ≤ value, so ties
 split deterministically), and orders roll up per bucket: customers,
-orders, exact revenue cents.  Shape: the bounded cents histogram
-yields the boundaries; the custkey→decile map broadcasts once
-(customer is the small side — at true scale the same map rides the
-co-partitioned exchange); one hash aggregate over orders.  Oracle:
-the same ROW_NUMBER boundary extraction + a boundary-count join.
+orders, exact revenue cents.  Shape: the decile boundaries come from
+a DISTRIBUTED cents histogram (bounded by the 1.1M-value acctbal
+domain, never O(customers)); the customer balance attaches to orders
+through the size-gated broadcast / co-partitioned fact join
+(stages/factjoin.attach_fact_value — modes pinned equal in pytest);
+one hash aggregate over orders.  Oracle: the same ROW_NUMBER boundary
+extraction + a boundary-count join.
 
 ``hourly_islands_per_type`` — gaps-and-islands on the hour lattice:
 per event type, the number of maximal runs of CONSECUTIVE observed
@@ -47,44 +49,78 @@ def _ray():
 # --------------------------------------------------------------------------
 
 
-def q_balance_decile_order_stats(sf_dir: str):
-    import pyarrow.parquet as pq
-
+def q_balance_decile_order_stats(sf_dir: str, join_mode: str | None = None):
     from ..stages.agg import grouped_aggregate
+    from ..stages.factjoin import attach_fact_value
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_acctbal"])
-    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
-    v = np.round(cust.column("c_acctbal").to_numpy() * 100.0).astype(
-        np.int64)
-    sv = np.sort(v)
-    n = len(sv)
-    bounds = np.array([sv[(n - 1) * j // 10] for j in QQ_DECILES],
-                      dtype=np.int64)
-    dec = np.searchsorted(bounds, v, side="right").astype(np.int64)
-    order = np.argsort(ck)
-    ck_s, dec_s = ck[order], dec[order]
-    side = ray.put((ck_s, dec_s))
-    n_cust_per_dec = np.bincount(dec, minlength=10).astype(np.int64)
+    P = min(32, shuffle_blocks())
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
+    # exact decile bounds via the DISTRIBUTED cents histogram: per-batch
+    # (cents, count) partials, one bounded aggregate (|distinct cents| <=
+    # the 1.1M-value acctbal domain, never O(customers)), driver cumsum +
+    # rank select — replaces the full-column driver read + sort
+    cds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_acctbal"])
 
-    def attach(batch: pa.Table) -> pa.Table:
-        ck_, dec_ = ray.get(side)
-        oc = batch.column("o_custkey").to_numpy().astype(np.int64)
-        d = dec_[np.searchsorted(ck_, oc)]
+    def cents_partial(batch: pa.Table) -> pa.Table:
+        cv = np.round(batch.column("c_acctbal").to_numpy() * 100.0).astype(
+            np.int64)
+        vals, cnt = np.unique(cv, return_counts=True)
+        return pa.table({
+            "v": pa.array(vals, type=pa.int64()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+        })
+
+    hist = grouped_aggregate(
+        cds.map_batches(cents_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["v"], [("sum", "cnt", "cnt")],
+    ).to_pandas().sort_values("v")
+    hv = hist["v"].to_numpy()
+    hc = hist["cnt"].to_numpy()
+    cum = np.cumsum(hc)
+    n = int(cum[-1])
+    ranks = np.array([(n - 1) * j // 10 for j in QQ_DECILES], dtype=np.int64)
+    bounds = hv[np.searchsorted(cum, ranks + 1)]
+    # customers per decile straight from the histogram (same assignment
+    # rule as per-customer bucketing: decile = #bounds <= value)
+    dec_of_val = np.searchsorted(bounds, hv, side="right")
+    n_cust_per_dec = np.bincount(
+        dec_of_val, weights=hc, minlength=10).astype(np.int64)
+
+    # orders x customer: the size-gated fact attach (cents derived from
+    # c_acctbal by side_val_fn); decile = #bounds <= cents, per batch
+    def fact(batch: pa.Table) -> pa.Table:
         cents = np.round(
             batch.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
         return pa.table({
-            "decile": pa.array(d, type=pa.int64()),
-            "one": pa.array(np.ones(len(d), dtype=np.int64)),
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
             "rev": pa.array(cents, type=pa.int64()),
         })
 
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(fact, batch_format="pyarrow", zero_copy_batch=True)
+    joined = attach_fact_value(
+        sf_dir, "customer", "c_custkey", "c_acctbal", orders, ["rev"], P,
+        mode=join_mode, out_col="bal",
+        side_val_fn=lambda a: np.round(a * 100.0).astype(np.int64),
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        bal = batch.column("bal").to_numpy().astype(np.int64)
+        d = np.searchsorted(bounds, bal, side="right").astype(np.int64)
+        return pa.table({
+            "decile": pa.array(d, type=pa.int64()),
+            "one": pa.array(np.ones(len(d), dtype=np.int64)),
+            "rev": batch.column("rev"),
+        })
+
     agg = grouped_aggregate(
-        ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True),
+        joined.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True),
         ["decile"],
         [("sum", "one", "n_orders"), ("sum", "rev", "rev_cents")],
     ).to_pandas()  # bounded: 10 rows

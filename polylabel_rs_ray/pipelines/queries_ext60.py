@@ -88,10 +88,10 @@ def _attach_inner(group: pa.Table, key: str) -> pa.Table:
     return pa.table(out)
 
 
-def q_shipping_priority_q3(sf_dir: str, n_parts: int | None = None):
-    import pyarrow.parquet as pq
-
+def q_shipping_priority_q3(sf_dir: str, n_parts: int | None = None,
+                           join_mode: str | None = None):
     from ..stages.agg import hash_grouped_aggregate
+    from ..stages.factjoin import attach_fact_value
     from ..stages.util import coalesce_for_shuffle, shuffle_blocks
 
     from .queries import _hash_part
@@ -100,23 +100,30 @@ def q_shipping_priority_q3(sf_dir: str, n_parts: int | None = None):
     P = int(n_parts or min(32, shuffle_blocks()))
     cut_us = _ts_us(Q3_CUT)
 
-    # semi-join side: segment-filtered custkeys only (8 bytes/key — the
-    # broadcast-set trade, same as the bloom semi-join at queries.py)
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    ck = cust.column("c_custkey").to_numpy().astype(np.int64)
-    seg = pc.equal(cust.column("c_mktsegment"), Q3_SEGMENT).to_numpy(
-        zero_copy_only=False)
-    cust_keys = np.sort(ck[seg])
+    # semi-join side: the segment membership flag attaches to orders
+    # through the size-gated broadcast / co-partitioned customer join
+    # (customer is fact-scaled; stages/factjoin.attach_fact_value)
+    def orders_fact(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "order_date_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+        })
+
+    ofact = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_fact, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = attach_fact_value(
+        sf_dir, "customer", "c_custkey", "c_mktsegment", ofact,
+        ["o_orderkey", "order_date_us"], P, mode=join_mode, out_col="in_seg",
+        side_val_fn=lambda a: (a == Q3_SEGMENT).astype(np.int64),
+    )
 
     def key_orders(batch: pa.Table) -> pa.Table:
         okey = batch.column("o_orderkey").to_numpy().astype(np.int64)
-        date_us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
-        custk = batch.column("o_custkey").to_numpy().astype(np.int64)
-        pos = np.clip(np.searchsorted(cust_keys, custk), 0,
-                      max(len(cust_keys) - 1, 0))
-        in_seg = (cust_keys[pos] == custk) if len(cust_keys) else \
-            np.zeros(len(custk), dtype=bool)
+        date_us = batch.column("order_date_us").to_numpy().astype(np.int64)
+        in_seg = batch.column("in_seg").to_numpy().astype(np.int64) == 1
         m = in_seg & (date_us < cut_us)
         n = int(m.sum())
         return pa.table({
@@ -147,10 +154,8 @@ def q_shipping_priority_q3(sf_dir: str, n_parts: int | None = None):
             "order_date_us": pa.nulls(n, type=pa.int64()),
         })
 
-    od = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(key_orders, batch_format="pyarrow", zero_copy_batch=True)
+    od = flagged.map_batches(key_orders, batch_format="pyarrow",
+                             zero_copy_batch=True)
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],

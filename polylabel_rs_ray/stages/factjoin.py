@@ -53,12 +53,15 @@ def attach_fact_value(
     mode: str | None = None,
     gate_rows: int = FACT_BROADCAST_MAX_ROWS,
     out_col: str = "v",
+    side_val_fn=None,
 ):
     """Attach ``out_col`` (= side_val looked up by the fact's ``key``
     column in ``{sf_dir}/{side_table}.parquet``) to ``fact_ds`` rows.
 
     ``fact_ds`` must have an int64 ``key`` column plus ``payload_cols``;
-    the result has columns ``[out_col] + payload_cols``.
+    the result has columns ``[out_col] + payload_cols``.  ``side_val_fn``
+    (numpy array -> int64 numpy array) derives the attached value from
+    the raw side column (e.g. cents quantization); default = int64 cast.
     """
     import pyarrow.parquet as pq
 
@@ -72,11 +75,12 @@ def attach_fact_value(
         mode = "broadcast" if n_side <= gate_rows else "partitioned"
     if mode not in ("broadcast", "partitioned"):
         raise ValueError(mode)
+    to_int64 = side_val_fn or (lambda a: a.astype(np.int64))
 
     if mode == "broadcast":
         side = pq.read_table(path, columns=[side_key, side_val])
         sk = side.column(side_key).to_numpy().astype(np.int64)
-        sv = side.column(side_val).to_numpy().astype(np.int64)
+        sv = to_int64(side.column(side_val).to_numpy(zero_copy_only=False))
         sorder = np.argsort(sk)
         sk, sv = sk[sorder], sv[sorder]
         side_ref = ray.put((sk, sv))
@@ -119,7 +123,9 @@ def attach_fact_value(
             "part": pa.array(_hash_part(sk, P), type=pa.int64()),
             "__side": pa.array(np.ones(len(sk), np.int64)),
             "key": pa.array(sk, type=pa.int64()),
-            out_col: pc.cast(batch.column(side_val), pa.int64()),
+            out_col: pa.array(
+                to_int64(batch.column(side_val).to_numpy(
+                    zero_copy_only=False)), type=pa.int64()),
         }
         for name in payload_cols:
             cols[name] = pa.nulls(len(sk), payload_types[name])

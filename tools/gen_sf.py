@@ -12,7 +12,11 @@ Shapes mirror the driver tables (verified against sf0.1):
   5% exact-copy-plus-" dup" near-duplicates, embeddings 20k unit
   float32 vectors with a random 10-class label.  region/nation are the
   fixed 5/25-row dimensions, copied verbatim from the shipped sf0.1.
-Row groups are sized ~128k rows so Ray's parquet reader parallelizes.
+Row groups: ~128k rows for the big fact tables, ~4k rows for the small
+per-row-expensive tables (documents/embeddings) — BOTH Ray's parquet
+reader and DuckDB's scan parallelize by row group, and a single-group
+documents file serializes every oracle's text kernel (measured: the
+sf1 levenshtein oracle pinned one core for 30+ minutes before this).
 """
 
 from __future__ import annotations
@@ -43,6 +47,9 @@ EPOCH_2024 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int6
 ORDER_DAYS = (np.datetime64("2001-08-01") - np.datetime64("1995-01-01")).astype(int)
 SHIP_DAYS = (np.datetime64("2001-11-04") - np.datetime64("1995-01-02")).astype(int)
 SHIP_BASE = EPOCH_1995 + DAY_US  # 1995-01-02
+
+
+SMALL_GROUP = 4096  # documents/embeddings: parallelize per-row-heavy kernels
 
 
 def _write(path: str, table: pa.Table, rows_per_group: int = 131072) -> None:
@@ -173,7 +180,7 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         "source": pa.array([f"src{i % 20}" for i in range(n_docs)],
                            type=pa.string()),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
-    }))
+    }), rows_per_group=SMALL_GROUP)
 
     # embeddings: unit float32 vectors, random 10-class label
     m = rng.standard_normal((n_emb, 64))
@@ -185,7 +192,7 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": col,
         "label": pa.array(rng.integers(0, 10, n_emb).astype(np.int32)),
-    }))
+    }), rows_per_group=SMALL_GROUP)
 
 
 if __name__ == "__main__":

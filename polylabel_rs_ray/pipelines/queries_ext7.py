@@ -132,7 +132,9 @@ def q_embedding_norms(sf_dir: str):
             emb = emb.combine_chunks()
         offsets = emb.offsets.to_numpy()
         vals = emb.values.to_numpy().astype(np.float64)
-        q = np.rint(vals * 1e6).astype(np.int64)
+        # half-away ties to match SQL ROUND (see queries_ext9._emb_matrix)
+        t = vals * 1e6
+        q = np.trunc(t + np.copysign(0.5, t)).astype(np.int64)
         sq = q * q
         nsq = np.add.reduceat(sq, offsets[:-1]) if len(vals) else np.array([], np.int64)
         nsq = np.where(np.diff(offsets) == 0, 0, nsq)

@@ -34,7 +34,13 @@ def _emb_matrix(batch: pa.Table):
     vals = emb.values.to_numpy().astype(np.float64)
     assert len(widths) == 0 or widths.max() == widths.min(), "ragged embeddings"
     d = int(widths[0]) if len(widths) else 0
-    q = np.rint(vals * 1e6).astype(np.int64).reshape(-1, d) if d else np.zeros((0, 0), np.int64)
+    # micro quantization with SQL ROUND's half-AWAY-from-zero tie rule
+    # (np.rint is half-to-even: a float32 embedding value landing exactly
+    # on a .5 micro boundary — e.g. 0.2578125 * 1e6 = 257812.5, found by
+    # the sf1 scale sweep — would silently diverge from the oracle)
+    t = vals * 1e6
+    q = (np.trunc(t + np.copysign(0.5, t)).astype(np.int64).reshape(-1, d)
+         if d else np.zeros((0, 0), np.int64))
     return q, d
 
 

@@ -163,6 +163,9 @@ def q_jaccard_join_exact(
             "g": pa.array(g[keep], type=pa.int64()),
             "doc_id": pa.array(ids[keep], type=pa.int64()),
             "s": pa.array(s[keep], type=pa.int64()),
+            # rank of the token in the doc's rarest-first order — feeds
+            # the PPJoin positional filter in the candidate stage
+            "p": pa.array(rank[keep], type=pa.int64()),
         })
 
     prefixes = (
@@ -191,34 +194,44 @@ def q_jaccard_join_exact(
         g = group.column("g").to_numpy().astype(np.int64)
         ids = group.column("doc_id").to_numpy().astype(np.int64)
         s = group.column("s").to_numpy().astype(np.int64)
+        p = group.column("p").to_numpy().astype(np.int64)
         order = np.lexsort((ids, g))
-        g, ids, s = g[order], ids[order], s[order]
+        g, ids, s, p = g[order], ids[order], s[order], p[order]
         starts = np.concatenate([[0], np.nonzero(g[1:] != g[:-1])[0] + 1])
         lens = np.diff(np.concatenate([starts, [n]]))
-        pa_list, pb_list, sa_list, sb_list = [], [], [], []
+        pa_list, pb_list = [], []
         # per-bucket all-pairs: bounded by prefix-shingle bucket sizes (the
         # rarest shingles of each doc); runs with L >= 2 are the candidate-
-        # generating buckets — few, each expanded vectorized via triu
+        # generating buckets, expanded vectorized via triu then pruned by
+        # the size + POSITIONAL filters before any pair leaves the task
         for st, ln in zip(starts, lens):
             if ln < 2:
                 continue
             ii, jj = np.triu_indices(ln, k=1)
-            pa_list.append(ids[st + ii])
-            pb_list.append(ids[st + jj])
-            sa_list.append(s[st + ii])
-            sb_list.append(s[st + jj])
+            sa, sb = s[st + ii], s[st + jj]
+            # size filter: J >= tau requires min >= tau * max
+            keep = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
+            # PPJoin positional filter: sharing this token at rarest-first
+            # positions (pa_, pb_) caps the overlap at
+            # 1 + min(sa-pa_-1, sb-pb_-1); J >= tau needs overlap >=
+            # ceil(tau/(1+tau)*(sa+sb)).  Complete: for any true pair the
+            # FIRST shared prefix token satisfies the bound (its suffixes
+            # still hold the full remaining overlap), so at least one
+            # generating instance always survives; later instances of the
+            # same pair may prune — the pair dedup makes that harmless.
+            # The 1e-9 slack makes float ceil under-prune only (safe).
+            pa_, pb_ = p[st + ii], p[st + jj]
+            ub = 1 + np.minimum(sa - pa_ - 1, sb - pb_ - 1)
+            need = np.ceil(tau / (1.0 + tau) * (sa + sb) - 1e-9)
+            keep &= ub >= need
+            if keep.any():
+                pa_list.append(ids[st + ii[keep]])
+                pb_list.append(ids[st + jj[keep]])
         if not pa_list:
             return empty
-        a = np.concatenate(pa_list)
-        b = np.concatenate(pb_list)
-        sa = np.concatenate(sa_list)
-        sb = np.concatenate(sb_list)
-        # docs ascend within a bucket, so a < b already; size filter:
-        # J >= tau requires min(sa,sb) >= tau * max(sa,sb)
-        keep = np.minimum(sa, sb) >= tau * np.maximum(sa, sb)
         return pa.table({
-            "doc_a": pa.array(a[keep], type=pa.int64()),
-            "doc_b": pa.array(b[keep], type=pa.int64()),
+            "doc_a": pa.array(np.concatenate(pa_list), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate(pb_list), type=pa.int64()),
         })
 
     cands = (

@@ -72,7 +72,12 @@ def q_returnflag_rle_stats(sf_dir: str, n_parts: int | None = None):
         k = group.column("k").to_numpy().astype(np.int64)
         ln = group.column("ln").to_numpy().astype(np.int64)
         v = np.asarray(group.column("v").to_pylist(), dtype=object)
-        order = np.lexsort((ln, k))
+        # (l_orderkey, l_linenumber) is NOT unique in this schema, so the
+        # value itself is the final tie-break — without it the run count
+        # depends on physical read order (exposed by the multi-row-group
+        # sf1 sweep; single-group files read deterministically and hid it)
+        vcode = np.array([ord(x[0]) for x in v], dtype=np.int64)
+        order = np.lexsort((vcode, ln, k))
         v = v[order]
         n = len(v)
         change = np.flatnonzero(v[1:] != v[:-1]) + 1
@@ -132,13 +137,16 @@ SQL_RETURNFLAG_RLE_STATS = """
 WITH seq AS (
   SELECT l_returnflag AS v,
          CASE WHEN LAG(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
-              THEN 1 ELSE 0 END AS new_run
+              THEN 1 ELSE 0 END AS new_run,
+         ROW_NUMBER() OVER w AS rn
   FROM lineitem
-  WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+  -- value as the final tie-break: (orderkey, linenumber) is not unique,
+  -- so the clustered order must be made total for a well-defined count
+  WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_returnflag)
 ),
 grp AS (
   SELECT v, SUM(new_run) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS gid
-  FROM (SELECT v, new_run, ROW_NUMBER() OVER () AS rn FROM seq)
+  FROM seq
 ),
 runs AS (SELECT gid, COUNT(*) AS len FROM grp GROUP BY gid)
 SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,

@@ -121,14 +121,21 @@ def q_basket_triple_support(sf_dir: str, n_parts: int | None = None):
 
 
 SQL_BASKET_TRIPLE_SUPPORT = """
-WITH dp AS (
+WITH dp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-t AS (
-  SELECT a.l_partkey pa, b.l_partkey pb, c.l_partkey pc
+-- pairs materialized so the c-join keeps l_orderkey as its equi-key:
+-- written as one 3-way join, the planner merge-joined b x c on the
+-- partkey INEQUALITY alone — a quasi-cross-join (~18e12 rows at sf1)
+pairs AS MATERIALIZED (
+  SELECT a.l_orderkey AS okey, a.l_partkey pa, b.l_partkey pb
   FROM dp a
   JOIN dp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  JOIN dp c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+),
+t AS (
+  SELECT p.pa, p.pb, c.l_partkey pc
+  FROM pairs p
+  JOIN dp c ON p.okey = c.l_orderkey AND p.pb < c.l_partkey
 ),
 s AS (SELECT pa, pb, pc, CAST(COUNT(*) AS BIGINT) AS support
       FROM t GROUP BY 1, 2, 3)

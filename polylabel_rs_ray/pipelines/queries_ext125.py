@@ -182,18 +182,31 @@ def q_sq8_1nn_label_audit(sf_dir: str, n_shards: int | None = None):
     )
 
 
+# list-vectorized pair sweep: the per-DIMENSION unnest join form blows
+# up to N^2 * 64 rows (25.6e9 at sf1 — DuckDB spilled past the disk);
+# packing codes into DOUBLE lists keeps the pair relation at N^2 rows
+# with one exact list_inner_product each (all values integers < 2^53,
+# so DOUBLE arithmetic is exact), and the per-vec argmin runs as a
+# GROUP BY MIN over the engine's own packed (d2 << 40) | id key — no
+# 400M-row window sort, no spill.
 SQL_SQ8_1NN_LABEL_AUDIT = _SQL_CODES + """
-, dist AS (
-  SELECT a.vec_id, b.vec_id AS nn_id,
-         SUM((a.code - b.code) * (a.code - b.code)) AS d2
-  FROM codes a JOIN codes b
-    ON a.d = b.d AND a.vec_id <> b.vec_id
-  GROUP BY a.vec_id, b.vec_id
+, packed AS (
+  SELECT vec_id,
+         CAST(LIST(CAST(code AS DOUBLE) ORDER BY d) AS DOUBLE[]) AS c,
+         SUM(CAST(code AS HUGEINT) * code) AS s2
+  FROM codes GROUP BY vec_id
+), best AS (
+  SELECT a.vec_id,
+         MIN(CAST(a.s2 + b.s2
+                  - CAST(2.0 * list_inner_product(a.c, b.c) AS HUGEINT)
+              AS BIGINT) * (CAST(1 AS BIGINT) << 40) + b.vec_id) AS pk
+  FROM packed a JOIN packed b ON a.vec_id <> b.vec_id
+  GROUP BY a.vec_id
 ), nn AS (
-  SELECT vec_id, nn_id, CAST(d2 AS BIGINT) AS nn_d2
-  FROM dist
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                             ORDER BY d2, nn_id) = 1
+  SELECT vec_id,
+         pk & ((CAST(1 AS BIGINT) << 40) - 1) AS nn_id,
+         pk >> 40 AS nn_d2
+  FROM best
 )
 SELECT n.vec_id,
        CAST(ea.label AS BIGINT) AS label,

@@ -57,12 +57,19 @@ def q_balance_skewness_moments(sf_dir: str):
         nat = pc.cast(batch.column("s_nationkey"), pa.int64())
         x = np.round(batch.column("s_acctbal").to_numpy() * 100.0).astype(
             np.int64)
+        # x^3 reaches 10^18 per element, so a summed int64 column wraps
+        # past ~9 rows of same-sign extremes (hit at sf1 batch sizes) —
+        # carry it as floor-divmod hi/lo int64 halves; the exact total is
+        # (sum_hi << 32) + sum_lo, int64-safe to ~3e10 rows per group
+        x3 = x * x * x
+        hi, lo = np.divmod(x3, np.int64(1) << 32)
         return pa.table({
             "nation": nat,
             "one": pa.array(np.ones(len(x), dtype=np.int64)),
             "sx": pa.array(x, type=pa.int64()),
             "sx2": pa.array(x * x, type=pa.int64()),
-            "sx3": pa.array(x * x * x, type=pa.int64()),
+            "sx3h": pa.array(hi, type=pa.int64()),
+            "sx3l": pa.array(lo, type=pa.int64()),
         })
 
     agg = grouped_aggregate(
@@ -70,12 +77,13 @@ def q_balance_skewness_moments(sf_dir: str):
                        zero_copy_batch=True),
         ["nation"],
         [("sum", "one", "n"), ("sum", "sx", "sx"), ("sum", "sx2", "sx2"),
-         ("sum", "sx3", "sx3")],
+         ("sum", "sx3h", "sx3h"), ("sum", "sx3l", "sx3l")],
     ).to_pandas()  # bounded: one row per nation
 
     nations, ns, m3s, signs = [], [], [], []
     for r in agg.itertuples():
-        n, sx, sx2, sx3 = int(r.n), int(r.sx), int(r.sx2), int(r.sx3)
+        n, sx, sx2 = int(r.n), int(r.sx), int(r.sx2)
+        sx3 = (int(r.sx3h) << 32) + int(r.sx3l)
         m3 = n * n * sx3 - 3 * n * sx * sx2 + 2 * sx ** 3  # big int
         nations.append(int(r.nation))
         ns.append(n)

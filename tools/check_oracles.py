@@ -71,6 +71,11 @@ def main(sf_dir: str, only: list[str] | None = None,
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    # guard rails: a pathological oracle plan must FAIL its own row, not
+    # fill the disk with spill and take the Ray workers down with it
+    # (happened once: a planner cross-join spilled past the volume)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 

@@ -6,8 +6,9 @@ res-6 lattice by the classic Zhang-Suen two-subiteration thinning
 (neighbors p2..p9 clockwise from NORTH=(x, y+1), out-of-bounds
 empty): a pixel is peeled when its neighbor count B ∈ [2, 6], its
 0→1 transition count A == 1, and the subiteration's two corner
-products vanish — iterated to fixpoint (measured ≤ 5 rounds at every
-scale factor; engine asserts ≤ SKEL_ROUNDS=8 and the oracle runs all
+products vanish — iterated to fixpoint (≤ 5 rounds at the shipped scale
+factors, 9 at the denser sf1 lattice; engine asserts ≤ SKEL_ROUNDS=16 —
+the loud scale limit — and the oracle runs all
 8, no-ops after convergence).  Emits (ix, iy, skel) for every
 ORIGINALLY occupied cell (58 → 41 at sf0.001, 233 → 42 at sf0.1 —
 real thinning, measured before shipping).  Engine: fully vectorized
@@ -37,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 SKEL_RES = 6
-SKEL_ROUNDS = 8
+SKEL_ROUNDS = 16
 LUHN_DIGITS = 12
 
 

@@ -74,8 +74,11 @@ def main(sf_dir: str, only: list[str] | None = None,
     # guard rails: a pathological oracle plan must FAIL its own row, not
     # fill the disk with spill and take the Ray workers down with it
     # (happened once: a planner cross-join spilled past the volume)
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET max_temp_directory_size='40GB'")
+    # sized to let the heavyweight graph oracles through (triangle/k-core
+    # peel at sf1 peak ~50-60GB) while still stopping a runaway plan (the
+    # planner cross-join that once spilled toward 600GB)
+    con.execute("SET memory_limit='100GB'")
+    con.execute("SET max_temp_directory_size='64GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 

@@ -339,3 +339,31 @@ def test_ivf_exact_matches_bruteforce_integer_topk(ray_session):
         sub = got[got.query_id == ids[qi]].sort_values("rank")
         assert list(sub.vec_id) == list(ids[order])
         assert list(sub.d2) == [int(d2[o]) for o in order]
+
+
+def test_jaccard_exact_gate_delegates_to_minhash(ray_session, monkeypatch, caplog):
+    """Past the vocabulary-derived corpus bound the exact PPJoin delegates
+    to the value-equal banded-LSH path (quadratic candidate volume once the
+    trigram vocabulary saturates — VERDICT r4 finding #1); force_exact=True
+    overrides the gate and runs the deterministic-complete join."""
+    import logging
+
+    from polylabel_rs_ray.pipelines import queries_ext36 as m
+    from polylabel_rs_ray.pipelines.queries import q_minhash_near_dup
+
+    # shrink the gate below this corpus so the delegation branch fires
+    monkeypatch.setattr(m, "JACCARD_EXACT_MAX_DOCS", 10)
+    with caplog.at_level(logging.WARNING, logger=m.__name__):
+        gated = m.q_jaccard_join_exact(SF).to_pandas()
+    assert any("delegating" in r.message for r in caplog.records)
+    lsh = q_minhash_near_dup(SF).to_pandas()
+    key = lambda df: sorted(zip(df.doc_a, df.doc_b, df.jaccard_pct))
+    assert key(gated) == key(lsh) and len(gated) > 0
+
+    # the override keeps the exact path available (and value-equal) even
+    # past the gate — no delegation log this time
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=m.__name__):
+        forced = m.q_jaccard_join_exact(SF, force_exact=True).to_pandas()
+    assert not any("delegating" in r.message for r in caplog.records)
+    assert key(forced) == key(lsh)

@@ -3384,9 +3384,12 @@ def q_revenue_by_region(sf_dir: str, join_mode: str | None = None):
 
     def name_region(batch: pa.Table) -> pa.Table:
         nk = batch.column("nk").to_numpy().astype(np.int64)
-        pos = np.searchsorted(nk_sorted, nk)
-        assert len(nk) == 0 or np.all(nk_sorted[pos] == nk), \
-            "FK violation: c_nationkey not in nation"
+        # clip so an out-of-domain key raises the FK message, not IndexError
+        pos = np.clip(np.searchsorted(nk_sorted, nk), 0,
+                      max(len(nk_sorted) - 1, 0))
+        if len(nk) and (not len(nk_sorted)
+                        or not np.all(nk_sorted[pos] == nk)):
+            raise ValueError("FK violation: c_nationkey not in nation")
         return pa.table({
             "r_name": rname_arr.take(pa.array(pos)),
             "revenue_cents": batch.column("revenue_cents"),

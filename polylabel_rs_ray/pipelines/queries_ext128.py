@@ -6,19 +6,23 @@ concentration of their purchasing across part TYPES as exact integer
 numerators: n = lineitems, sumsq = Σ n_t² over the customer's
 per-type counts (HHI = sumsq/n², emitted as the two integers so no
 float division crosses the oracle boundary), plus the distinct type
-count.  Shape: part type attached from the broadcast part dimension,
-then the orders FACT attached via the size-gated broadcast /
-co-partitioned orderkey exchange (stages/factjoin.attach_order_custkey
-— modes pinned equal in pytest), then a (custkey, type-class) hash
-aggregate whose
-bounded per-customer fan-in (≤150 types) collapses map-side before
-the final per-customer fold.  Oracle: the same two-level GROUP BY.
+count.  Shape: the part TYPE domain (bounded, 150 values) is discovered
+distributedly (stages/agg.distinct_values), the partkey -> type-class
+attach AND the orders FACT attach both go through the size-gated
+broadcast / co-partitioned exchange (stages/factjoin.attach_fact_value
+/ attach_order_custkey — part scales at 200k rows/sf, a dim at sf1 but
+a fact at 100x; modes pinned equal in pytest), then a (custkey,
+type-class) hash aggregate whose bounded per-customer fan-in (≤150
+types) collapses map-side before the final per-customer fold.
+Oracle: the same two-level GROUP BY.
 
 ``brand_share_by_type`` — per part type: total revenue and the
 dominant brand (argmax by revenue, ties to the lexicographically
 smallest brand) with its revenue, in the repo's exact integer
 cent·percent units (``round(price·100) · (100 − round(disc·100))``).
-The (type, brand) aggregate is bounded (150 types × 25 brands); the
+The partkey -> (type, brand) attach packs both bounded class ids into
+one int64 side value through the size-gated fact join; the
+(type, brand) aggregate is bounded (150 types × 25 brands); the
 argmax is the packed max-key discipline (revenue is non-negative,
 brands integer-classed by sorted index so the packed
 ``rev · B + (B−1−brand_idx)`` max decodes to the tie-correct pick).
@@ -57,45 +61,44 @@ def _rev_cents_pct(batch: pa.Table) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def q_customer_parttype_hhi(sf_dir: str, join_mode: str | None = None):
-    import pyarrow.parquet as pq
-
-    from ..stages.agg import grouped_aggregate, hash_grouped_aggregate
-    from ..stages.factjoin import attach_order_custkey
+def q_customer_parttype_hhi(
+    sf_dir: str,
+    join_mode: str | None = None,
+    part_mode: str | None = None,
+):
+    from ..stages.agg import (
+        distinct_values, grouped_aggregate, hash_grouped_aggregate,
+    )
+    from ..stages.factjoin import attach_fact_value, attach_order_custkey
     from ..stages.util import shuffle_blocks
 
     ray = _ray()
     P = min(32, shuffle_blocks())
-    # broadcast part dimension: partkey -> type class id (sorted types)
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type"])
-    types = sorted(set(part.column("p_type").to_pylist()))
+    # part TYPE domain is bounded (150 values) and discovered distributedly;
+    # the partkey -> type-class attach itself goes through the size-gated
+    # fact join (part scales at 200k rows/sf — a dim at sf1, a fact at 100x)
+    types = distinct_values(f"{sf_dir}/part.parquet", "p_type")
     tidx = {t: i for i, t in enumerate(types)}
-    pk = part.column("p_partkey").to_numpy().astype(np.int64)
-    tcls = np.array([tidx[t] for t in part.column("p_type").to_pylist()],
-                    dtype=np.int64)
-    order = np.argsort(pk)
-    pk, tcls = pk[order], tcls[order]
-    side = ray.put((pk, tcls))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_orderkey", "l_partkey"])
+    def type_cls(arr: np.ndarray) -> np.ndarray:
+        return np.fromiter((tidx[t] for t in arr), np.int64, len(arr))
 
-    def attach_type(batch: pa.Table) -> pa.Table:
-        pk_, tcls_ = ray.get(side)
-        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        lp = batch.column("l_partkey").to_numpy().astype(np.int64)
-        pos = np.searchsorted(pk_, lp)
-        assert np.all(pk_[pos] == lp), "FK violation: l_partkey not in part"
+    def keyed(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "okey": pa.array(lo, type=pa.int64()),
-            "t": pa.array(tcls_[pos], type=pa.int64()),
+            "key": pc.cast(batch.column("l_partkey"), pa.int64()),
+            "okey": pc.cast(batch.column("l_orderkey"), pa.int64()),
         })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    fact = attach_fact_value(
+        sf_dir, "part", "p_partkey", "p_type", ds, ["okey"], P,
+        mode=part_mode, out_col="t", side_val_fn=type_cls,
+    )
 
     # orders attach: size-gated broadcast / co-partitioned exchange
     # (orders is a fact, not a dim — stages/factjoin.py)
-    fact = ds.map_batches(attach_type, batch_format="pyarrow",
-                          zero_copy_batch=True)
     joined = attach_order_custkey(sf_dir, fact, ["t"], P, mode=join_mode)
 
     def ones(batch: pa.Table) -> pa.Table:
@@ -146,44 +149,55 @@ FROM ct GROUP BY c_custkey
 # --------------------------------------------------------------------------
 
 
-def q_brand_share_by_type(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    from ..stages.agg import grouped_aggregate
+def q_brand_share_by_type(sf_dir: str, part_mode: str | None = None):
+    from ..stages.agg import distinct_values, grouped_aggregate
+    from ..stages.factjoin import attach_fact_value
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type", "p_brand"])
-    types = sorted(set(part.column("p_type").to_pylist()))
-    brands = sorted(set(part.column("p_brand").to_pylist()))
+    P = min(32, shuffle_blocks())
+    # bounded domains (150 types x 25 brands) discovered distributedly;
+    # the part attach is size-gated (stages/factjoin.py) with both class
+    # ids packed into ONE int64 side value (tc * B + bc)
+    types = distinct_values(f"{sf_dir}/part.parquet", "p_type")
+    brands = distinct_values(f"{sf_dir}/part.parquet", "p_brand")
     tidx = {t: i for i, t in enumerate(types)}
     bidx = {b: i for i, b in enumerate(brands)}
     B = len(brands)
-    pk = part.column("p_partkey").to_numpy().astype(np.int64)
-    tc = np.array([tidx[t] for t in part.column("p_type").to_pylist()],
-                  dtype=np.int64)
-    bc = np.array([bidx[b] for b in part.column("p_brand").to_pylist()],
-                  dtype=np.int64)
-    order = np.argsort(pk)
-    pk, tc, bc = pk[order], tc[order], bc[order]
-    side = ray.put((pk, tc, bc))
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_extendedprice", "l_discount"])
+    def pack_type_brand(cols: dict) -> np.ndarray:
+        tc = np.fromiter((tidx[t] for t in cols["p_type"]), np.int64,
+                         len(cols["p_type"]))
+        bc = np.fromiter((bidx[b] for b in cols["p_brand"]), np.int64,
+                         len(cols["p_brand"]))
+        return tc * B + bc
 
-    def attach(batch: pa.Table) -> pa.Table:
-        pk_, tc_, bc_ = ray.get(side)
-        lp = batch.column("l_partkey").to_numpy().astype(np.int64)
-        pos = np.searchsorted(pk_, lp)
+    def keyed(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "t": pa.array(tc_[pos], type=pa.int64()),
-            "b": pa.array(bc_[pos], type=pa.int64()),
+            "key": pc.cast(batch.column("l_partkey"), pa.int64()),
             "rev": pa.array(_rev_cents_pct(batch), type=pa.int64()),
         })
 
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    attached = attach_fact_value(
+        sf_dir, "part", "p_partkey", ["p_type", "p_brand"], ds, ["rev"], P,
+        mode=part_mode, out_col="tb", side_val_fn=pack_type_brand,
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        tb_ = batch.column("tb").to_numpy().astype(np.int64)
+        return pa.table({
+            "t": pa.array(tb_ // B, type=pa.int64()),
+            "b": pa.array(tb_ % B, type=pa.int64()),
+            "rev": batch.column("rev"),
+        })
+
     tb = grouped_aggregate(
-        ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True),
+        attached.map_batches(unpack, batch_format="pyarrow",
+                             zero_copy_batch=True),
         ["t", "b"], [("sum", "rev", "rev")],
     )
 

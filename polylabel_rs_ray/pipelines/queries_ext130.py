@@ -130,48 +130,50 @@ FROM uw GROUP BY user_id
 # --------------------------------------------------------------------------
 
 
-def q_customer_region_coverage(sf_dir: str, join_mode: str | None = None):
+def q_customer_region_coverage(
+    sf_dir: str,
+    join_mode: str | None = None,
+    supp_mode: str | None = None,
+):
     import pyarrow.parquet as pq
 
     from ..stages.agg import grouped_aggregate
-    from ..stages.factjoin import attach_order_custkey
+    from ..stages.factjoin import attach_fact_value, attach_order_custkey
     from ..stages.util import shuffle_blocks
 
     ray = _ray()
     P = min(32, shuffle_blocks())
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
+    # nation is a TRUE bounded dim (25 rows) — its nationkey -> regionkey
+    # map closes over the side_val_fn; supplier scales at 10k rows/sf, so
+    # its suppkey -> region attach goes through the size-gated fact join
+    # (stages/factjoin.py), as does the orders attach below
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_regionkey"])
     nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
     rk = nat.column("n_regionkey").to_numpy().astype(np.int64)
     norder = np.argsort(nk)
     nk, rk = nk[norder], rk[norder]
-    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    sorder = np.argsort(sk)
-    sk, sn = sk[sorder], sn[sorder]
-    sreg = rk[np.searchsorted(nk, sn)]
-    side = ray.put((sk, sreg))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_orderkey", "l_suppkey"])
+    def nation_to_region(arr: np.ndarray) -> np.ndarray:
+        sn = arr.astype(np.int64)
+        pos = np.clip(np.searchsorted(nk, sn), 0, max(len(nk) - 1, 0))
+        if len(sn) and (not len(nk) or not np.all(nk[pos] == sn)):
+            raise ValueError("FK violation: s_nationkey not in nation")
+        return rk[pos]
 
-    # bounded dims (supplier -> region) broadcast; the orders FACT goes
-    # through the size-gated attach (stages/factjoin.py)
-    def attach_region(batch: pa.Table) -> pa.Table:
-        sk_, sreg_ = ray.get(side)
-        lo = batch.column("l_orderkey").to_numpy().astype(np.int64)
-        ls = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        pos = np.searchsorted(sk_, ls)
-        assert np.all(sk_[pos] == ls), "FK violation: l_suppkey not in supplier"
+    def keyed(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "okey": pa.array(lo, type=pa.int64()),
-            "r": pa.array(sreg_[pos], type=pa.int64()),
+            "key": pc.cast(batch.column("l_suppkey"), pa.int64()),
+            "okey": pc.cast(batch.column("l_orderkey"), pa.int64()),
         })
 
-    fact = ds.map_batches(attach_region, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    fact = attach_fact_value(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", ds, ["okey"], P,
+        mode=supp_mode, out_col="r", side_val_fn=nation_to_region,
+    )
     joined = attach_order_custkey(sf_dir, fact, ["r"], P, mode=join_mode)
 
     # map-side distinct (c, r) collapse before the global aggregate

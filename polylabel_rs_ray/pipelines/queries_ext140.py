@@ -144,43 +144,40 @@ SELECT CAST((SELECT m FROM exact) AS BIGINT) AS exact_median_cents,
 # --------------------------------------------------------------------------
 
 
-def q_simpsons_paradox_slices(sf_dir: str):
-    import pyarrow.parquet as pq
-
+def q_simpsons_paradox_slices(sf_dir: str, supp_mode: str | None = None):
     from ..stages.agg import grouped_aggregate
+    from ..stages.factjoin import attach_fact_value
+    from ..stages.util import shuffle_blocks
 
     ray = _ray()
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
-                         columns=["s_suppkey", "s_nationkey"])
-    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
-    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
-    order = np.argsort(sk)
-    sk, sn = sk[order], sn[order]
-    side = ray.put((sk, sn))
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_suppkey", "l_quantity", "l_extendedprice"])
+    P = min(32, shuffle_blocks())
 
     def partials(batch: pa.Table) -> pa.Table:
-        sk_, sn_ = ray.get(side)
-        ls = batch.column("l_suppkey").to_numpy().astype(np.int64)
-        nat = sn_[np.searchsorted(sk_, ls)]
         x = batch.column("l_quantity").to_numpy().astype(np.int64)
         y = np.round(
             batch.column("l_extendedprice").to_numpy() * 100.0).astype(
             np.int64)
         return pa.table({
-            "nation": pa.array(nat, type=pa.int64()),
+            "key": pc.cast(batch.column("l_suppkey"), pa.int64()),
             "one": pa.array(np.ones(len(x), dtype=np.int64)),
             "sx": pa.array(x, type=pa.int64()),
             "sy": pa.array(y, type=pa.int64()),
             "sxy": pa.array(x * y, type=pa.int64()),
         })
 
+    # supplier scales at 10k rows/sf — the suppkey -> nation attach goes
+    # through the size-gated broadcast / co-partitioned fact join
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    attached = attach_fact_value(
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", ds,
+        ["one", "sx", "sy", "sxy"], P, mode=supp_mode, out_col="nation",
+    )
+
     agg = grouped_aggregate(
-        ds.map_batches(partials, batch_format="pyarrow",
-                       zero_copy_batch=True),
+        attached,
         ["nation"],
         [("sum", "one", "n"), ("sum", "sx", "sx"), ("sum", "sy", "sy"),
          ("sum", "sxy", "sxy")],

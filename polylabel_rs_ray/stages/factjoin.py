@@ -59,9 +59,16 @@ def attach_fact_value(
     column in ``{sf_dir}/{side_table}.parquet``) to ``fact_ds`` rows.
 
     ``fact_ds`` must have an int64 ``key`` column plus ``payload_cols``;
-    the result has columns ``[out_col] + payload_cols``.  ``side_val_fn``
-    (numpy array -> int64 numpy array) derives the attached value from
-    the raw side column (e.g. cents quantization); default = int64 cast.
+    the result has columns ``[out_col] + payload_cols``.
+
+    ``side_val`` is one column name or a LIST of column names.  For a
+    single column, ``side_val_fn`` (numpy array -> int64 numpy array)
+    derives the attached value from the raw side column (e.g. cents
+    quantization); default = int64 cast.  For a list, ``side_val_fn`` is
+    required and receives a dict ``{col: numpy array}`` — use it to pack
+    several side attributes into one int64 (e.g. ``type_cls * B +
+    brand_cls``); any class-id mapping it closes over must be bounded
+    (a discovered domain), never fact-scaled.
     """
     import pyarrow.parquet as pq
 
@@ -75,12 +82,35 @@ def attach_fact_value(
         mode = "broadcast" if n_side <= gate_rows else "partitioned"
     if mode not in ("broadcast", "partitioned"):
         raise ValueError(mode)
-    to_int64 = side_val_fn or (lambda a: a.astype(np.int64))
+    side_cols = [side_val] if isinstance(side_val, str) else list(side_val)
+    if len(side_cols) > 1 and side_val_fn is None:
+        raise ValueError("side_val_fn is required for multi-column side_val")
+
+    def derive(tbl: pa.Table) -> np.ndarray:
+        if len(side_cols) == 1:
+            arr = tbl.column(side_cols[0]).to_numpy(zero_copy_only=False)
+            fn = side_val_fn or (lambda a: a.astype(np.int64))
+            return fn(arr)
+        return side_val_fn({
+            c: tbl.column(c).to_numpy(zero_copy_only=False)
+            for c in side_cols
+        })
+
+    def fk_check(sorted_keys: np.ndarray, fk: np.ndarray) -> np.ndarray:
+        """Clipped searchsorted + LOUD FK guard (survives ``python -O``,
+        unlike an assert): every fact key must exist in the side table."""
+        pos = np.clip(np.searchsorted(sorted_keys, fk), 0,
+                      max(len(sorted_keys) - 1, 0))
+        if len(fk) and (not len(sorted_keys)
+                        or not np.all(sorted_keys[pos] == fk)):
+            raise ValueError(
+                f"FK violation: fact key missing from {side_table}")
+        return pos
 
     if mode == "broadcast":
-        side = pq.read_table(path, columns=[side_key, side_val])
+        side = pq.read_table(path, columns=[side_key] + side_cols)
         sk = side.column(side_key).to_numpy().astype(np.int64)
-        sv = to_int64(side.column(side_val).to_numpy(zero_copy_only=False))
+        sv = derive(side)
         sorder = np.argsort(sk)
         sk, sv = sk[sorder], sv[sorder]
         side_ref = ray.put((sk, sv))
@@ -88,9 +118,7 @@ def attach_fact_value(
         def attach(batch: pa.Table) -> pa.Table:
             sk_, sv_ = ray.get(side_ref)
             fk = batch.column("key").to_numpy().astype(np.int64)
-            pos = np.clip(np.searchsorted(sk_, fk), 0, max(len(sk_) - 1, 0))
-            assert len(sk_) and np.all(sk_[pos] == fk), \
-                f"FK violation: fact key missing from {side_table}"
+            pos = fk_check(sk_, fk)
             cols = {out_col: pa.array(sv_[pos], type=pa.int64())}
             for name in payload_cols:
                 cols[name] = batch.column(name)
@@ -123,15 +151,13 @@ def attach_fact_value(
             "part": pa.array(_hash_part(sk, P), type=pa.int64()),
             "__side": pa.array(np.ones(len(sk), np.int64)),
             "key": pa.array(sk, type=pa.int64()),
-            out_col: pa.array(
-                to_int64(batch.column(side_val).to_numpy(
-                    zero_copy_only=False)), type=pa.int64()),
+            out_col: pa.array(derive(batch), type=pa.int64()),
         }
         for name in payload_cols:
             cols[name] = pa.nulls(len(sk), payload_types[name])
         return pa.table(cols)
 
-    sd = ray.data.read_parquet(path, columns=[side_key, side_val]) \
+    sd = ray.data.read_parquet(path, columns=[side_key] + side_cols) \
         .map_batches(key_side, batch_format="pyarrow", zero_copy_batch=True)
     fact = fact_ds.map_batches(key_fact, batch_format="pyarrow",
                                zero_copy_batch=True)
@@ -149,10 +175,7 @@ def attach_fact_value(
         fk = keys[~is_dim]
         cols = {}
         if len(fk):
-            pos = np.clip(np.searchsorted(dim_sorted, fk), 0,
-                          max(len(dim_sorted) - 1, 0))
-            assert len(dim_sorted) and np.all(dim_sorted[pos] == fk), \
-                f"FK violation: fact key missing from {side_table}"
+            pos = fk_check(dim_sorted, fk)
             cols[out_col] = pa.array(vals_sorted[pos], type=pa.int64())
         else:
             cols[out_col] = pa.array([], type=pa.int64())

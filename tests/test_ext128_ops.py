@@ -96,3 +96,22 @@ def test_hhi_join_modes_agree(ray_session):
     b = _norm(q_customer_parttype_hhi(SF, join_mode="partitioned").to_pandas())
     assert len(a) == len(b) > 0
     assert a.equals(b)
+
+
+def test_part_attach_modes_agree(ray_session):
+    """The part-dimension attach now routes through the size-gated
+    stages/factjoin.attach_fact_value (VERDICT r4 finding #2): the
+    broadcast and co-partitioned modes are value-equal for both the
+    single-column (type class) and the packed two-column (type, brand)
+    side derivations."""
+    from polylabel_rs_ray.pipelines.queries_ext128 import (
+        q_brand_share_by_type, q_customer_parttype_hhi,
+    )
+
+    a = _norm(q_customer_parttype_hhi(SF, part_mode="broadcast").to_pandas())
+    b = _norm(q_customer_parttype_hhi(SF, part_mode="partitioned").to_pandas())
+    assert len(a) == len(b) > 0 and a.equals(b)
+
+    a = _norm(q_brand_share_by_type(SF, part_mode="broadcast").to_pandas())
+    b = _norm(q_brand_share_by_type(SF, part_mode="partitioned").to_pandas())
+    assert len(a) == len(b) > 0 and a.equals(b)

@@ -17,10 +17,11 @@ BOUNDED distinct-edge table (≤ |parts|²/2 rows, a function of the
 part-key domain, NOT of corpus row count — the same boundedness
 argument as ``local_clustering_coeff``'s incident-edge pull), with
 numpy ``bincount`` rounds.  The oracle replays the identical ladder
-as machine-generated chained CTE rounds (peel round = one
-degree-filter join over the materialized pair list); rounds per rung
-are bounded by PEEL_ROUNDS and the fixpoint-reached invariant is
-pytest-pinned, so the unrolled depth is safe, not hopeful.
+as one RECURSIVE CTE per rung (peel round = one degree-filter join
+over the materialized pair list, the working table replacing itself
+each round — O(|V|) peak state, sf1-safe); rounds per rung are bounded
+by PEEL_ROUNDS and the fixpoint-reached invariant is pytest-pinned,
+so the capped recursion depth is safe, not hopeful.
 
 ``autocomplete_topk`` — the search-box primitive: for every prefix
 (lengths 1..4) of every vocabulary word, the TOPK=3 completions by
@@ -109,8 +110,19 @@ def q_part_core_buckets(sf_dir: str):
 
 
 def _sql_part_core_buckets() -> str:
-    head = """
-WITH pairs AS MATERIALIZED (
+    """One RECURSIVE CTE per ladder rung, each seeded from the previous
+    rung's fixpoint (the warm-start monotonicity the engine uses).  The
+    recursive working table holds ONE round's alive set at a time — round
+    r+1 is computed from round r and then replaces it — so peak state is
+    O(|V|) per rung instead of the 50 chained MATERIALIZED round tables
+    the unrolled ladder kept live (which spilled past the temp-disk cap
+    at sf1; CORRECTNESS_FULL_r4_sf1.json).  ``x.r < PEEL_ROUNDS`` caps
+    the recursion; a nonempty fixpoint keeps re-emitting itself up to
+    r = PEEL_ROUNDS (peeling is idempotent at the fixpoint), while an
+    empty fixpoint ends the recursion with no r = PEEL_ROUNDS rows —
+    both cases make ``WHERE r = PEEL_ROUNDS`` exactly the rung's core."""
+    parts = ["""
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -119,27 +131,24 @@ WITH pairs AS MATERIALIZED (
   SELECT pa AS v, pb AS o FROM pairs
   UNION ALL
   SELECT pb AS v, pa AS o FROM pairs
-), s_base AS (SELECT DISTINCT v FROM ends)"""
-    parts = [head]
-    prev = "s_base"
-    finals = {}
+), s_base AS (SELECT DISTINCT v FROM ends)"""]
+    prev_seed = "SELECT 0, v FROM s_base"
     for k in CORE_LADDER:
-        for r in range(1, PEEL_ROUNDS + 1):
-            cur = f"s_{k}_{r}"
-            # MATERIALIZED is load-bearing: a plain CTE inlines at every
-            # reference, and each round references the previous twice —
-            # 50 unrolled rounds would expand exponentially.
-            parts.append(f""",
-{cur} AS MATERIALIZED (
-  SELECT e.v FROM ends e
-  JOIN {prev} x ON x.v = e.v
-  JOIN {prev} y ON y.v = e.o
-  GROUP BY 1 HAVING COUNT(*) >= {k}
+        parts.append(f""",
+rung_{k}(r, v) AS (
+  {prev_seed}
+  UNION ALL
+  SELECT x.r + 1, e.v
+  FROM ends e
+  JOIN rung_{k} x ON x.v = e.v
+  JOIN rung_{k} y ON y.v = e.o
+  WHERE x.r < {PEEL_ROUNDS}
+  GROUP BY 1, 2 HAVING COUNT(*) >= {k}
 )""")
-            prev = cur
-        finals[k] = prev
+        prev_seed = f"SELECT 0, v FROM rung_{k} WHERE r = {PEEL_ROUNDS}"
     cases = " ".join(
-        f"WHEN n.v IN (SELECT v FROM {finals[k]}) THEN {k}"
+        f"WHEN n.v IN (SELECT v FROM rung_{k} WHERE r = {PEEL_ROUNDS})"
+        f" THEN {k}"
         for k in reversed(CORE_LADDER))
     parts.append(f"""
 SELECT n.v AS part_key,

@@ -3518,6 +3518,91 @@ SQL_DOC_CHUNKS = r"""
 
 
 HLL_P = 12  # 4096 registers -> ~1.6% typical relative error
+_HLL_T_MASK = (1 << (64 - HLL_P)) - 1  # low 52 bits = the rho window
+
+
+def _hll_md5_reg_rho(uids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) per uid via the repo-wide SQL-replayable hash:
+    ``h = md5_number_lower(str(uid))`` (lower 8 digest bytes, little
+    endian), register = top HLL_P bits, rho = leading-zero count of the
+    remaining 52-bit window + 1 = 53 - bit_length(h & T_MASK).  md5 runs
+    once per DISTINCT uid in the batch (user domain is bounded; the
+    ``feature_hash`` convention), then scatters through the inverse."""
+    import hashlib
+
+    uniq, inv = np.unique(uids, return_inverse=True)
+    reg_u = np.empty(len(uniq), dtype=np.int64)
+    rho_u = np.empty(len(uniq), dtype=np.int64)
+    for i, u in enumerate(uniq):
+        h = int.from_bytes(
+            hashlib.md5(str(int(u)).encode()).digest()[8:], "little")
+        reg_u[i] = h >> (64 - HLL_P)
+        rho_u[i] = (64 - HLL_P) + 1 - (h & _HLL_T_MASK).bit_length()
+    return reg_u[inv], rho_u[inv]
+
+
+def _hll_estimate_exact(regs: np.ndarray) -> int:
+    """Integer-exact HLL estimate, SQL-replayable to the last bit.
+
+    The harmonic sum is kept as the exact integer ``s_int = sum(2^(64 -
+    r_j))`` (Python big int; empty register contributes 2^64) and the
+    bias constant is used in its RATIONAL form ``alpha = 7213*m /
+    (10*(1000m + 1079))``, so the raw estimate is the big-int ratio
+    ``e_num/e_den = 7213*m^3*2^64 / (10*(1000m+1079)*s_int)`` rounded
+    half-up — every step replays in DuckDB HUGEINT arithmetic.  The
+    linear-counting small-range branch (``E <= 2.5m`` and empty
+    registers exist — decided on the exact ratio) is the one float op:
+    ``floor(m*ln(m/zeros) + 0.5)`` with libm ``log`` on both sides."""
+    import math
+
+    m = len(regs)
+    zeros = int((regs == 0).sum())
+    cnt = np.bincount(regs.astype(np.int64), minlength=(64 - HLL_P) + 2)
+    s_int = sum(int(c) << (64 - r) for r, c in enumerate(cnt) if c)
+    e_num = (7213 * m ** 3) << 64
+    e_den = 10 * (1000 * m + 1079) * s_int
+    if zeros > 0 and 2 * e_num <= 5 * m * e_den:
+        return int(math.floor(m * math.log(m / zeros) + 0.5))
+    return (2 * e_num + e_den) // (2 * e_den)
+
+
+def _sql_hll_est(where: str) -> str:
+    """Scalar-subquery SQL replaying ``_hll_md5_reg_rho`` +
+    ``_hll_estimate_exact`` over ``events.user_id`` rows matching
+    ``where`` — bit-exact vs the engine (HUGEINT ratio; libm LN in the
+    linear-counting branch)."""
+    m = 1 << HLL_P
+    e_num = (7213 * m ** 3) << 64
+    den_c = 10 * (1000 * m + 1079)
+    shift = 64 - HLL_P
+    return f"""(
+      WITH hh AS (
+        SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE {where}
+      ), rr AS (
+        SELECT CAST(h >> {shift} AS BIGINT) AS reg,
+               CAST(CASE WHEN (h & {_HLL_T_MASK}) = 0 THEN {shift + 1}
+                    ELSE {shift + 1}
+                         - length(bin(CAST(h & {_HLL_T_MASK} AS BIGINT)))
+                    END AS BIGINT) AS rho
+        FROM hh
+      ), regs AS (
+        SELECT reg, MAX(rho) AS rho FROM rr GROUP BY 1
+      ), est AS (
+        SELECT {m} - COUNT(*) AS zeros,
+               COALESCE(SUM(CAST(1 AS HUGEINT)
+                            << (64 - CAST(rho AS INT))), 0)
+                 + CAST({m} - COUNT(*) AS HUGEINT)
+                   * {1 << 64} AS s_int
+        FROM regs
+      )
+      SELECT CASE
+        WHEN zeros > 0 AND 2 * {e_num} <= 5 * {m} * ({den_c} * s_int)
+        THEN CAST(FLOOR({m} * LN({m}.0 / zeros) + 0.5) AS BIGINT)
+        ELSE CAST((2 * {e_num} + {den_c} * s_int)
+                  // (2 * {den_c} * s_int) AS BIGINT)
+      END FROM est
+    )"""
 
 
 def _hll_mix64(x: np.ndarray) -> np.ndarray:
@@ -3548,8 +3633,12 @@ def q_approx_distinct_users(sf_dir: str):
     block) no matter the cardinality, the pattern that replaces exact
     COUNT(DISTINCT) when the distinct set itself no longer fits a
     shuffle.  Classic HLL estimator with the linear-counting small-range
-    correction.  Rows-only by construction (the estimate is approximate);
-    pytest pins relative error vs exact COUNT(DISTINCT)."""
+    correction.  The hash chain is the SQL-replayable md5 convention and
+    the estimator is integer-exact (``_hll_estimate_exact``), so the
+    oracle replays the full register array and estimate value-exactly —
+    the sketch is approximate vs COUNT(DISTINCT), but deterministic and
+    therefore oracle-checkable (the ``cmsketch_word_counts`` treatment;
+    pytest additionally pins relative error vs the exact count)."""
     ray = _ray()
     m = 1 << HLL_P
 
@@ -3564,10 +3653,7 @@ def q_approx_distinct_users(sf_dir: str):
         gid = de.indices.to_numpy().astype(np.int64)
         g = len(de.dictionary)
         uid = batch.column("user_id").to_numpy().astype(np.int64)
-        h = _hll_mix64(uid)
-        reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-        w = h << np.uint64(HLL_P)
-        rho = np.minimum(_leading_zeros64(w), 64 - HLL_P) + 1
+        reg, rho = _hll_md5_reg_rho(uid)
         regs = np.zeros(g * m, dtype=np.int64)
         np.maximum.at(regs, gid * m + reg, rho)
         return pa.table({
@@ -3579,14 +3665,10 @@ def q_approx_distinct_users(sf_dir: str):
         regs = np.zeros(m, dtype=np.int64)
         for row in group.column("regs").to_pylist():
             np.maximum(regs, np.asarray(row, dtype=np.int64), out=regs)
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-        E = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
-        if E <= 2.5 * m and zeros > 0:  # linear counting small-range fix
-            E = m * np.log(m / zeros)
         return pa.table({
             "event_type": pa.array([group.column("event_type")[0].as_py()]),
-            "approx_users": pa.array([int(round(E))], type=pa.int64()),
+            "approx_users": pa.array([_hll_estimate_exact(regs)],
+                                     type=pa.int64()),
         })
 
     return (
@@ -3594,6 +3676,14 @@ def q_approx_distinct_users(sf_dir: str):
         .groupby("event_type")
         .map_groups(merge_estimate, batch_format="pyarrow")
     )
+
+
+def _sql_approx_distinct_users() -> str:
+    return f"""
+    SELECT event_type,
+           {_sql_hll_est("event_type = t.event_type")} AS approx_users
+    FROM (SELECT DISTINCT event_type FROM events) t
+    """
 
 
 # --------------------------------------------------------------------------
@@ -5012,6 +5102,7 @@ def build_oracles() -> dict:
         "knn_tiles": _sql_knn_tiles(),
         "tile_counts": _sql_tile_counts(),
         # render_tiles: no oracle (binary tile payloads) -> rows-only
+        "approx_distinct_users": _sql_approx_distinct_users(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_orders": SQL_TOP_ORDERS,
         "customers_per_nation": SQL_CUSTOMERS_PER_NATION,

@@ -119,8 +119,9 @@ SQL_SAMPLE_PER_LANG = f"""
 
 
 def _hll_regs(ds, col_filter: str):
-    """Merged HLL registers of user_id restricted to one event type."""
-    from .queries import _hll_mix64, _leading_zeros64
+    """Merged HLL registers of user_id restricted to one event type
+    (SQL-replayable md5 hash chain — queries._hll_md5_reg_rho)."""
+    from .queries import _hll_md5_reg_rho
 
     m = 1 << HLL_P
 
@@ -129,10 +130,7 @@ def _hll_regs(ds, col_filter: str):
         uid = b.column("user_id").to_numpy().astype(np.int64)
         regs = np.zeros(m, dtype=np.int64)
         if len(uid):
-            h = _hll_mix64(uid)
-            reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-            w = h << np.uint64(HLL_P)
-            rho = np.minimum(_leading_zeros64(w), 64 - HLL_P) + 1
+            reg, rho = _hll_md5_reg_rho(uid)
             np.maximum.at(regs, reg, rho)
         return pa.table({"regs": pa.array([regs], type=pa.list_(pa.int64()))})
 
@@ -143,32 +141,40 @@ def _hll_regs(ds, col_filter: str):
     return out
 
 
-def _hll_estimate(regs: np.ndarray) -> float:
-    m = len(regs)
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    E = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
-    if E <= 2.5 * m and zeros > 0:
-        E = m * np.log(m / zeros)
-    return float(E)
-
-
 def q_hll_type_overlap(sf_dir: str):
+    from .queries import _hll_estimate_exact
+
     ray = _ray()
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     ra = _hll_regs(ds, "view")
     rb = _hll_regs(ds, "purchase")
-    ea, eb = _hll_estimate(ra), _hll_estimate(rb)
-    eu = _hll_estimate(np.maximum(ra, rb))  # HLL union is lossless
-    inter = max(0.0, ea + eb - eu)
+    ea, eb = _hll_estimate_exact(ra), _hll_estimate_exact(rb)
+    eu = _hll_estimate_exact(np.maximum(ra, rb))  # HLL union is lossless
+    inter = max(0, ea + eb - eu)  # pure ints end-to-end
     return pa.table({
-        "approx_viewers": pa.array([int(round(ea))], type=pa.int64()),
-        "approx_purchasers": pa.array([int(round(eb))], type=pa.int64()),
-        "approx_either": pa.array([int(round(eu))], type=pa.int64()),
-        "approx_both": pa.array([int(round(inter))], type=pa.int64()),
+        "approx_viewers": pa.array([ea], type=pa.int64()),
+        "approx_purchasers": pa.array([eb], type=pa.int64()),
+        "approx_either": pa.array([eu], type=pa.int64()),
+        "approx_both": pa.array([inter], type=pa.int64()),
     })
+
+
+def _sql_hll_type_overlap() -> str:
+    """Register-replay oracle: three scalar HLL estimates (view,
+    purchase, union-of-both — the union registers are just the estimate
+    over rows of EITHER type, since HLL union is elementwise max) and
+    integer inclusion-exclusion, all value-exact vs the engine."""
+    from .queries import _sql_hll_est
+
+    return f"""
+    SELECT v AS approx_viewers, p AS approx_purchasers,
+           u AS approx_either, GREATEST(0, v + p - u) AS approx_both
+    FROM (SELECT {_sql_hll_est("event_type = 'view'")} AS v,
+                 {_sql_hll_est("event_type = 'purchase'")} AS p,
+                 {_sql_hll_est("event_type IN ('view', 'purchase')")} AS u)
+    """
 
 
 # --------------------------------------------------------------------------
@@ -255,8 +261,10 @@ def build_queries_ext15() -> dict:
 
 
 def build_oracles_ext15() -> dict:
-    # hll_type_overlap is approximate -> rows-only
     return {
         "sample_per_lang": SQL_SAMPLE_PER_LANG,
+        # register-replay oracle: the estimate is approximate vs exact
+        # distinct but fully deterministic, so SQL replays it value-exactly
+        "hll_type_overlap": _sql_hll_type_overlap(),
         "orders_with_lineitems_bloom": SQL_ORDERS_WITH_LINEITEMS_BLOOM,
     }

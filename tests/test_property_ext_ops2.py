@@ -88,8 +88,9 @@ def test_weighted_median_matches_expansion(ray_session, tmp_path_factory, rows):
 
 def test_hll_union_is_register_max():
     # |A ∪ B| estimated from max(regs_A, regs_B) equals sketching A ∪ B
-    # directly — the losslessness the overlap op relies on
-    from polylabel_rs_ray.pipelines.queries import _hll_mix64, _leading_zeros64
+    # directly — the losslessness the overlap op relies on (checked on
+    # the production md5 hash chain)
+    from polylabel_rs_ray.pipelines.queries import _hll_md5_reg_rho
     from polylabel_rs_ray.pipelines.queries_ext15 import HLL_P
 
     m = 1 << HLL_P
@@ -97,10 +98,7 @@ def test_hll_union_is_register_max():
 
     def regs(vals):
         r = np.zeros(m, dtype=np.int64)
-        h = _hll_mix64(vals.astype(np.int64))
-        reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-        w = h << np.uint64(HLL_P)
-        rho = np.minimum(_leading_zeros64(w), 64 - HLL_P) + 1
+        reg, rho = _hll_md5_reg_rho(vals.astype(np.int64))
         np.maximum.at(r, reg, rho)
         return r
 

@@ -58,8 +58,9 @@ def test_rows_only_set_is_the_documented_one():
 
     rows_only = set(build_queries()) - set(build_oracles())
     allowed = {
-        "approx_distinct_users",  # HLL sketch, approximate
-        "hll_type_overlap",     # HLL set algebra, approximate
+        # approx_distinct_users / hll_type_overlap were promoted to full
+        # register-replay oracles in r5 (md5 hash chain + integer-exact
+        # estimator) — the remaining two are genuinely iterative
         "pagerank_parts",       # iterative float algorithm (repr-exact floats
                                 # don't survive a SQL replay)
         "bpe_merges",           # iterative merge loop (rank k+1 depends on

@@ -1984,19 +1984,23 @@ TOP_BIGRAMS_K = 20
 
 def q_top_bigrams(sf_dir: str):
     """Corpus n-gram statistics (the vocabulary-counting step of tokenizer
-    training): word bigrams exploded and counted per batch (map-side
-    combine via pyarrow group_by), summed through one small groupby over
-    DISTINCT bigrams, then top-k with a per-block partial top-k so the
-    final sort sees k x blocks rows, not the vocabulary."""
-    ray = _ray()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    training): word bigrams synthesized from the SHARED ``tokenized_docs``
+    checkpoint (one corpus tokenization pass for the whole BM25/TF-IDF/
+    n-gram family) via the vectorized shifted-take join — no per-row
+    Python — counted per batch (map-side combine via pyarrow group_by),
+    summed through one small groupby over DISTINCT bigrams, then top-k
+    with a per-block partial top-k so the final sort sees k x blocks
+    rows, not the vocabulary.  Lowercasing commutes with whitespace
+    tokenization, so ``utf8_lower`` on the checkpoint's flat token array
+    equals tokenizing the lowered text."""
+    from .queries_ext2 import ngrams_from_flat, tokenized_docs, toks_flat_from_batch
+
+    ds = tokenized_docs(sf_dir)
 
     def bigram_counts(batch: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks = (t or "").lower().split()
-            grams.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
-        tbl = pa.table({"bigram": pa.array(grams, type=pa.string())})
+        flat, off = toks_flat_from_batch(batch)
+        grams, _ = ngrams_from_flat(pc.utf8_lower(flat), off, 2)
+        tbl = pa.table({"bigram": grams})
         out = tbl.group_by(["bigram"]).aggregate([("bigram", "count")])
         return pa.table({
             "bigram": out.column("bigram"),

@@ -141,6 +141,13 @@ def _doc_ngrams(texts, k: int) -> tuple[pa.Array, np.ndarray]:
     k shifted takes over the flat token array + ONE elementwise join
     kernel (the span-synthesis idiom; no per-row Python)."""
     flat, off = tokens_flat(texts)
+    return ngrams_from_flat(flat, off, k)
+
+
+def ngrams_from_flat(flat: pa.Array, off: np.ndarray,
+                     k: int) -> tuple[pa.Array, np.ndarray]:
+    """``_doc_ngrams`` over an already-tokenized (flat, offsets) view —
+    the entry point for ``tokenized_docs`` checkpoint consumers."""
     n_tok = np.diff(off)
     n_grams = np.maximum(n_tok - k + 1, 0)
     total = int(n_grams.sum())

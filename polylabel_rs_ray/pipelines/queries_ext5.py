@@ -360,14 +360,16 @@ def q_heavy_hitter_words(sf_dir: str):
     pass restricted by a broadcast is_in filter.  Any word whose global
     count exceeds the summed per-block decrements is guaranteed to be a
     candidate, so for Zipf-shaped corpora the final top-k is exact
-    (asserted by the oracle every round)."""
+    (asserted by the oracle every round).  Both streamed passes consume
+    the SHARED ``tokenized_docs`` checkpoint (one corpus tokenization
+    for the whole word-statistics family)."""
     from ..stages.agg import grouped_aggregate
+    from .queries_ext2 import tokenized_docs, toks_flat_from_batch
 
-    ray = _ray()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = tokenized_docs(sf_dir)
 
     def mg_partial(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _word_lists(batch)
+        flat, _ = toks_flat_from_batch(batch)
         vc = pc.value_counts(flat)
         words = vc.field("values")
         counts = vc.field("counts").to_numpy().astype(np.int64)
@@ -396,7 +398,7 @@ def q_heavy_hitter_words(sf_dir: str):
     cand_arr = pa.array(cand, type=pa.string())
 
     def recount(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _word_lists(batch)
+        flat, _ = toks_flat_from_batch(batch)
         mask = pc.is_in(flat, value_set=cand_arr)
         return pa.table({"word": flat.filter(mask)})
 
@@ -412,8 +414,9 @@ def q_heavy_hitter_words(sf_dir: str):
     })
 
 
-SQL_HEAVY_HITTER_WORDS = f"""
-    WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+SQL_HEAVY_HITTER_WORDS = rf"""
+    WITH w AS (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS word
+               FROM documents),
     c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1)
     SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT {HH_TOPK}
 """

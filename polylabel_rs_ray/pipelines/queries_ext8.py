@@ -260,13 +260,12 @@ SQL_VALUE_MAD = """
 
 def q_vocab_ids(sf_dir: str):
     from ..stages.agg import grouped_aggregate
-    from .queries_ext5 import _word_lists
+    from .queries_ext2 import tokenized_docs, toks_flat_from_batch
 
-    ray = _ray()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = tokenized_docs(sf_dir)  # shared one-pass tokenization checkpoint
 
     def words(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _word_lists(batch)
+        flat, _ = toks_flat_from_batch(batch)
         return pa.table({"word": flat})
 
     counts = (
@@ -286,8 +285,9 @@ def q_vocab_ids(sf_dir: str):
     })
 
 
-SQL_VOCAB_IDS = """
-    WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+SQL_VOCAB_IDS = r"""
+    WITH w AS (SELECT UNNEST(regexp_extract_all(text, '\S+')) AS word
+               FROM documents),
     c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1)
     SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY word) AS BIGINT) AS word_id, n
     FROM c

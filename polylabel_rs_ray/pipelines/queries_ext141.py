@@ -8,10 +8,13 @@ number of COMMON NEIGHBORS |N(a) ∩ N(b)| in the graph whose edges
 are "ever co-purchased in one order".  Shape: the distributed pair
 table (co-partitioned intra-order fan-out, map-side combine — the
 part_pair_counts machinery reused) feeds (1) a partial-top-k per
-block + small final sort for the top pairs, and (2) an
-endpoint-filtered slice (≤40 parts × their degrees, the bounded
-neighbor lists) folded on the driver.  No all-pairs materialization
-anywhere.  Oracle: the same pair CTE + a two-hop self-join.
+block + small final sort for the top pairs, and (2) a NEIGHBOR-keyed
+co-partitioned exchange — each endpoint-touching edge ships as one
+(neighbor, endpoint-slot) row, every group resolves its neighbors
+against a ≤2·TOP_PAIRS-bit presence row and emits per-pair partial
+counts, and the driver only ever sees the bounded TOP_PAIRS-row
+aggregate (no structure proportional to a hub's degree anywhere).
+Oracle: the same pair CTE + a two-hop self-join.
 
 ``range_partition_audit`` — the planner audit for the arithmetic
 time-range partitioner the engine's global-order operators use (late
@@ -71,36 +74,71 @@ def q_common_neighbor_scores(sf_dir: str):
                 .limit(TOP_PAIRS)
                 .to_pandas())
     endpoints = sorted(set(top["part_a"]) | set(top["part_b"]))
+    n_ep = len(endpoints)  # <= 2 * TOP_PAIRS
+    ep_idx = {int(e): i for i, e in enumerate(endpoints)}
+    top_a = top["part_a"].to_numpy().astype(np.int64)
+    top_b = top["part_b"].to_numpy().astype(np.int64)
     ep = ray.put(np.array(endpoints, dtype=np.int64))
+
+    # common neighbors, NEIGHBOR-keyed: v counts for pair (a, b) iff
+    # edges (a, v) and (b, v) both exist.  Each edge touching an endpoint
+    # becomes one (neighbor v, endpoint slot) row; the hash(v) exchange
+    # co-locates every endpoint adjacent to a given v, so each group
+    # resolves its v's against a <= 2*TOP_PAIRS-bit presence row and
+    # emits per-pair PARTIAL counts.  No driver structure proportional
+    # to any hub's degree — the driver only ever sees the bounded
+    # TOP_PAIRS-row aggregate.
+    from ..stages.agg import grouped_aggregate
+    from ..stages.util import coalesce_for_shuffle, shuffle_blocks
+    from .queries import _hash_part
+
+    P = min(32, shuffle_blocks())
 
     def touch(batch: pa.Table) -> pa.Table:
         eps = ray.get(ep)
         a = batch.column("part_a").to_numpy().astype(np.int64)
         b = batch.column("part_b").to_numpy().astype(np.int64)
-        keep = np.isin(a, eps) | np.isin(b, eps)
+        ka = np.isin(a, eps)
+        kb = np.isin(b, eps)
+        # (v = the other end, u = the endpoint), both orientations
+        v = np.concatenate([b[ka], a[kb]])
+        u = np.concatenate([a[ka], b[kb]])
         return pa.table({
-            "part_a": pa.array(a[keep], type=pa.int64()),
-            "part_b": pa.array(b[keep], type=pa.int64()),
+            "part": pa.array(_hash_part(v, P), type=pa.int64()),
+            "v": pa.array(v, type=pa.int64()),
+            "u": pa.array(u, type=pa.int64()),
         })
 
-    # bounded: endpoint degrees only — never the full pair table
-    adj_rows = pairs.map_batches(touch, batch_format="pyarrow",
-                                 zero_copy_batch=True).to_pandas()
-    nbrs: dict[int, set] = {int(e): set() for e in endpoints}
-    for r in adj_rows.itertuples():
-        a, b = int(r.part_a), int(r.part_b)
-        if a in nbrs:
-            nbrs[a].add(b)
-        if b in nbrs:
-            nbrs[b].add(a)
-    common = [
-        len((nbrs[int(r.part_a)] - {int(r.part_b)})
-            & (nbrs[int(r.part_b)] - {int(r.part_a)}))
-        for r in top.itertuples()
-    ]
+    def pair_partials(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy().astype(np.int64)
+        u = group.column("u").to_numpy().astype(np.int64)
+        vu, vinv = np.unique(v, return_inverse=True)
+        present = np.zeros((len(vu), n_ep), dtype=bool)
+        uslot = np.fromiter((ep_idx[x] for x in u), np.int64, len(u))
+        present[vinv, uslot] = True
+        cnt = np.empty(len(top_a), dtype=np.int64)
+        for i, (a_, b_) in enumerate(zip(top_a, top_b)):
+            ok = present[:, ep_idx[int(a_)]] & present[:, ep_idx[int(b_)]]
+            ok &= (vu != a_) & (vu != b_)
+            cnt[i] = int(ok.sum())
+        return pa.table({
+            "pair_idx": pa.array(np.arange(len(top_a)), type=pa.int64()),
+            "cn": pa.array(cnt, type=pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        coalesce_for_shuffle(
+            pairs.map_batches(touch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        ).groupby("part").map_groups(
+            lambda g: pair_partials(g.drop_columns(["part"])),
+            batch_format="pyarrow"),
+        ["pair_idx"], [("sum", "cn", "cn")],
+    ).to_pandas().set_index("pair_idx")["cn"]  # bounded: TOP_PAIRS rows
+    common = [int(agg.get(i, 0)) for i in range(len(top_a))]
     return ray.data.from_arrow(pa.table({
-        "part_a": pa.array(top["part_a"].to_numpy().astype(np.int64)),
-        "part_b": pa.array(top["part_b"].to_numpy().astype(np.int64)),
+        "part_a": pa.array(top_a),
+        "part_b": pa.array(top_b),
         "n_pairs": pa.array(top["n_pairs"].to_numpy().astype(np.int64)),
         "common_neighbors": pa.array(common, type=pa.int64()),
     }))

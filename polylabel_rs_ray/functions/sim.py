@@ -249,6 +249,15 @@ class IvfSq8Scorer:
                  mn: np.ndarray, span: np.ndarray):
         self.c = _unit(np.asarray(centroids, dtype=np.float64))
         self.qc = np.asarray(qcodes, dtype=np.int64)
+        # packed-key ramp guard: (d2 << 40) | vec_id needs d2 < 2^23 —
+        # max d2 = dim * 255^2, so dim <= 128 with 8-bit codes — and
+        # vec_id < 2^40; a larger embedding dim or id would overflow into
+        # the sign bit and silently corrupt top-k order, so fail loudly
+        dim = self.qc.shape[1]
+        if dim * 255 ** 2 >= (1 << 23):
+            raise ValueError(
+                f"IvfSq8Scorer packed key overflows: dim={dim} gives max "
+                f"d2={dim * 255 ** 2} >= 2^23; repack with a wider shift")
         self.q2 = (self.qc * self.qc).sum(axis=1)
         self.qids = np.asarray(query_ids, dtype=np.int64)
         self.cand = [np.asarray(c, dtype=np.int64) for c in cand_cells]
@@ -264,6 +273,8 @@ class IvfSq8Scorer:
         assign = np.argmax(_unit(vecs) @ self.c.T, axis=1)
         vc = _quantize(vecs, self.mn, self.span)
         v2 = (vc * vc).sum(axis=1)
+        if len(vids) and int(vids.max()) >= (1 << 40):
+            raise ValueError("IvfSq8Scorer packed key overflows: vec_id >= 2^40")
         out_q, out_v, out_d = [], [], []
         for qi, qid in enumerate(self.qids):
             mask = np.isin(assign, self.cand[qi])

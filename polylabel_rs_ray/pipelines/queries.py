@@ -2471,7 +2471,17 @@ def _sql_embedding_near_dup(threshold: float = 0.98) -> str:
     the banded-LSH pipeline is held to the complete >= threshold set.  The
     verification metric on both sides is float64 cosine; cos_pct rounding
     is boundary-safe on this data (planted sims ~1.0, random 64-dim sims
-    ~N(0, 1/8) never reach 0.98)."""
+    ~N(0, 1/8) never reach 0.98).
+
+    VALIDITY CONDITION (data-generator-coupled, like every planting
+    oracle here): exact set equality holds because the similarity
+    distribution is bimodal — planted pairs sit near 1.0, everything
+    else far below threshold — so no true pair can sit close enough to
+    the banding recall boundary to miss every band.  If the testdata
+    generator ever changes (new seed, dims, or a planting that lands
+    borderline pairs in (0.95, 0.98)), re-derive this margin before
+    trusting a spurious failure: the engine could then legitimately
+    band-miss a borderline true pair the exhaustive sweep finds."""
     return f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -8,8 +8,8 @@ empty): a pixel is peeled when its neighbor count B ∈ [2, 6], its
 0→1 transition count A == 1, and the subiteration's two corner
 products vanish — iterated to fixpoint (≤ 5 rounds at the shipped scale
 factors, 9 at the denser sf1 lattice; engine asserts ≤ SKEL_ROUNDS=16 —
-the loud scale limit — and the oracle runs all
-8, no-ops after convergence).  Emits (ix, iy, skel) for every
+the loud scale limit — and the oracle unrolls all SKEL_ROUNDS=16
+sub-rounds, no-ops after convergence).  Emits (ix, iy, skel) for every
 ORIGINALLY occupied cell (58 → 41 at sf0.001, 233 → 42 at sf0.1 —
 real thinning, measured before shipping).  Engine: fully vectorized
 padded-shift evaluation of B/A/corner masks.  Oracle: 16

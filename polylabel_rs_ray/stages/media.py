@@ -60,12 +60,22 @@ class MediaFeaturizer:
     (functions/codecs.py: PPM / WAV / Y4M by magic-byte sniff), emitting
     content-derived features — dims, means, dynamic range — normalized to
     [0, 1].  ``decode="fake"`` derives MEDIA_FEATURE_DIM floats in [0, 1)
-    from blake2b(media_ref) — deterministic, schema-identical, no I/O."""
+    from blake2b(media_ref) — deterministic, schema-identical, no I/O.
 
-    def __init__(self, decode: str = "fake", fetch=None):
+    ``extra_decoders`` is the codec SWAP SEAM: a list of
+    ``(magic_prefix, decode_fn)`` tried by payload sniff BEFORE the
+    builtins, each ``decode_fn(data) -> np.ndarray`` of
+    MEDIA_FEATURE_DIM floats.  Plugging a PIL/ffmpeg-class codec (JPEG,
+    H.264) into a deployment is passing its entry here plus a real
+    ``fetch`` — a constructor-argument change, no stage rewrite
+    (pinned by tests/test_codecs.py::test_decoder_swap_seam)."""
+
+    def __init__(self, decode: str = "fake", fetch=None,
+                 extra_decoders=None):
         if decode not in ("fake", "real"):
             raise ValueError(decode)
         self.decode = decode
+        self.extra_decoders = list(extra_decoders or [])
         if decode == "real":
             from ..functions.codecs import synth_media
 
@@ -75,6 +85,14 @@ class MediaFeaturizer:
         from ..functions import codecs
 
         data = self.fetch(ref, kind)
+        for magic, decode_fn in self.extra_decoders:
+            if data[:len(magic)] == magic:
+                out = np.asarray(decode_fn(data), dtype=np.float64)
+                if out.shape != (MEDIA_FEATURE_DIM,):
+                    raise ValueError(
+                        f"extra decoder for {magic!r} returned shape "
+                        f"{out.shape}, want ({MEDIA_FEATURE_DIM},)")
+                return out
         out = np.zeros(MEDIA_FEATURE_DIM)
         if data[:2] == b"P6":
             img = codecs.decode_ppm(data)

@@ -188,3 +188,62 @@ def test_real_decode_queries_registered_with_oracles():
     q, o = build_queries(), build_oracles()
     for name in ("image_decode_stats", "audio_decode_stats", "video_decode_stats"):
         assert name in q and name in o
+
+
+def test_decoder_swap_seam(ray_session):
+    """The JPEG/H.264 deployment swap is a CONSTRUCTOR-ARGUMENT change,
+    not a stage rewrite (VERDICT r4 item 8): inject a fake PIL-style JPEG
+    decoder + content store through the fetch/extra_decoders seam and the
+    unchanged actor-pool stage decodes through it — including end-to-end
+    via map_batches with the class + constructor kwargs, the exact shape
+    a real deployment configures."""
+    import ray
+
+    from polylabel_rs_ray.stages.media import MEDIA_FEATURE_DIM, MediaFeaturizer
+
+    JPEG_MAGIC = b"\xff\xd8\xff"
+
+    def fake_jpeg_store(ref, kind):
+        # payload: JPEG magic + fake 2-byte dims + "pixel" byte
+        n = sum(ref.encode())
+        return JPEG_MAGIC + bytes([n % 256, (n * 7) % 256, (n * 13) % 256])
+
+    def fake_pil_decode(data):
+        # a PIL-ish decoder: reads dims + mean pixel out of the payload
+        w, h, mean = data[3], data[4], data[5]
+        out = np.zeros(MEDIA_FEATURE_DIM)
+        out[:4] = [9.0, w / 255.0, h / 255.0, mean / 255.0]
+        return out
+
+    # direct: the unchanged stage routes JPEG payloads through the swap
+    f = MediaFeaturizer(decode="real", fetch=fake_jpeg_store,
+                        extra_decoders=[(JPEG_MAGIC, fake_pil_decode)])
+    batch = _span_batch("image", ["img://1", "img://2"])
+    feats = np.asarray(f(batch).column("features").to_pylist())
+    assert feats.shape == (2, MEDIA_FEATURE_DIM)
+    assert (feats[:, 0] == 9.0).all()
+    expect0 = fake_pil_decode(fake_jpeg_store("img://1", "image"))
+    assert np.array_equal(feats[0], expect0)
+
+    # end-to-end: the same swap as map_batches constructor kwargs (actor
+    # pool path) — a deployment's one-line config
+    ds = ray.data.from_arrow(_span_batch("image", [f"img://{i}" for i in range(6)]))
+    out = ds.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={
+            "decode": "real",
+            "fetch": fake_jpeg_store,
+            "extra_decoders": [(JPEG_MAGIC, fake_pil_decode)],
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    got = np.asarray(out["features"].tolist())
+    assert got.shape == (6, MEDIA_FEATURE_DIM) and (got[:, 0] == 9.0).all()
+
+    # builtins unaffected: a PPM payload still takes the stdlib decoder
+    f2 = MediaFeaturizer(decode="real",
+                         extra_decoders=[(JPEG_MAGIC, fake_pil_decode)])
+    ppm = np.asarray(
+        f2(_span_batch("image", ["media://5/1"])).column("features").to_pylist())
+    assert ppm[0, 0] == 1.0  # the PPM branch's kind tag

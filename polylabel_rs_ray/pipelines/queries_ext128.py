@@ -119,11 +119,14 @@ def q_customer_parttype_hhi(
             "n_types": pa.array(np.ones(len(n), dtype=np.int64)),
         })
 
+    # customer-grain final fold (~150k keys at sf1): hash-exchange
+    # aggregate, not the native sort-aggregate (groups ~ rows here)
     return grouped_aggregate(
         ct.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
         ["c_custkey"],
         [("sum", "n_items", "n_items"), ("sum", "sumsq", "sumsq"),
          ("sum", "n_types", "n_types")],
+        high_cardinality=True,
     )
 
 

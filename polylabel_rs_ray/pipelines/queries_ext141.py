@@ -54,7 +54,10 @@ def q_common_neighbor_scores(sf_dir: str):
     from .queries import q_part_pair_counts
 
     ray = _ray()
-    pairs = q_part_pair_counts(sf_dir)
+    # TWO consumers (top-pairs sweep + endpoint touch): materialize so the
+    # lineitem pair exchange executes once; the distinct-pair table is
+    # bounded by the part-key domain, not corpus rows
+    pairs = q_part_pair_counts(sf_dir).materialize()
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         n = batch.column("n_pairs").to_numpy().astype(np.int64)

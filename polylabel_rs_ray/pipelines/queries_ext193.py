@@ -64,7 +64,9 @@ def q_bipartite_joint_degrees(sf_dir: str):
             columns=["l_partkey", "l_suppkey"]).map_batches(
             prep, batch_format="pyarrow", zero_copy_batch=True),
         ["part_key", "supp_key"], [("count", None, "cnt")],
-    )
+    ).materialize()  # THREE consumers (pdeg, sdeg, bucketize): without
+    # this the lineitem edge exchange executes three times; the distinct
+    # (part, supplier) edge table is bounded by the key domains
 
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -76,6 +78,7 @@ def q_bipartite_joint_degrees(sf_dir: str):
         edges.map_batches(endpoints, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["part_key"], [("sum", "one", "deg")],
+        high_cardinality=True,  # part-domain keys: groups ~ rows here
     ).to_pandas()  # bounded: part domain
 
     def sendpoints(batch: pa.Table) -> pa.Table:

@@ -47,6 +47,7 @@ def q_degree_histogram(sf_dir: str):
         edges.map_batches(endpoints, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["node"], [("sum", "one", "degree")],
+        high_cardinality=True,  # part-domain keys: groups ~ rows here
     )  # bounded: one row per part
 
     def to_hist(batch: pa.Table) -> pa.Table:

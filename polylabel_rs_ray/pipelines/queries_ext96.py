@@ -87,9 +87,12 @@ def q_part_graph_assortativity(sf_dir: str):
                     batch_format="pyarrow"),
         ["a", "b"],
         [("count", None, "_n")],
-    )
+    ).materialize()  # TWO consumers (deg_tbl + moments): without this the
+    # whole lineitem pair exchange executes twice; the distinct-edge table
+    # is bounded by the part-key domain, not corpus rows (sf1: 15 s -> 7 s)
 
-    # degrees over the bounded part domain
+    # degrees over the bounded part domain (200k keys at sf1 — groups ~
+    # rows after combine, so hash-exchange, not the native sort-aggregate)
     deg_tbl = grouped_aggregate(
         edges.map_batches(
             lambda t: pa.table({
@@ -100,6 +103,7 @@ def q_part_graph_assortativity(sf_dir: str):
                     ]), type=pa.int64()),
             }), batch_format="pyarrow", zero_copy_batch=True),
         ["p"], [("count", None, "deg")],
+        high_cardinality=True,
     ).to_pandas()
     dk = deg_tbl["p"].to_numpy().astype(np.int64)
     order = np.argsort(dk)

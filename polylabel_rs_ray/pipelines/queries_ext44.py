@@ -85,7 +85,8 @@ def q_part_pair_lift(sf_dir: str, n_parts: int | None = None):
     # per-part basket counts (bounded part domain) and total basket count
     # (both are row counters — safe under any block slicing)
     pc_counts = grouped_aggregate(
-        baskets, ["pkey"], [("count", None, "c")]
+        baskets, ["pkey"], [("count", None, "c")],
+        high_cardinality=True,  # part-domain keys: groups ~ rows here
     ).to_pandas()  # bounded: one row per part
     part_c = dict(zip(pc_counts["pkey"].astype(int), pc_counts["c"].astype(int)))
     n_baskets = int(
